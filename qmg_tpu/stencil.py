@@ -1,0 +1,562 @@
+"""Generic distance-1 stencil engine - "the rock of the code".
+
+TPU-native counterpart of the reference ``Stencil2D``
+(reference: stencil/stencil_2d.h:117-2716).
+
+Design differences from the C++ (same behavior, idiomatic JAX):
+
+  * Coefficients live in a ``StencilCoeffs`` pytree of device arrays
+    (clover (2,Y,Xh,nc,nc); hopping (4,2,Y,Xh,nc,nc) with direction order
+    {+x,+y,-x,-y}; complex scalar shift/eo_shift/dof_shift).
+  * The matvec family (apply_M_{clover,eo,oe,hopping,shift}, reference
+    :666-936) becomes pure jittable functions: each hopping term is a
+    cshift pull fused with a batched (nc x nc) complex matvec - XLA fuses
+    the shift+matmul+accumulate chain; a Pallas kernel covers the fp32 hot
+    path (pallas_dslash.py).
+  * The reference's pointer-swap trick for dagger / right-block-Jacobi /
+    rbj-dagger stencils (:1142-1178, :1604-1639, :2063-2098) becomes simply
+    *selecting a different coefficient pytree*; the derived coefficient
+    sets are computed by the pure functions build_dagger / build_rbjacobi /
+    build_rbj_dagger (:1080-1139, :1452-1601, :1989-2060).
+  * Even-odd (Schur) operators act on half-lattice arrays (Y,Xh,nc)
+    directly instead of full-size buffers with a dead half.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .lattice import Lattice2D, DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
+from .cshift import cshift_pull, cshift_pull_half, ALL_DIRS
+from . import linalg
+
+# Opposite direction map: +x<->-x, +y<->-y.
+OPPOSITE_DIR = {DIR_XP1: DIR_XM1, DIR_XM1: DIR_XP1,
+                DIR_YP1: DIR_YM1, DIR_YM1: DIR_YP1}
+
+
+class StencilType(enum.IntEnum):
+    """Matvec variants (reference QMGStencilType, stencil_2d.h:63-74)."""
+    ORIGINAL = 0
+    DAGGER = 1
+    RIGHT_JACOBI = 2
+    RIGHT_SCHUR = 3
+    M_MDAGGER = 4
+    MDAGGER_M = 5
+    RBJ_DAGGER = 6
+    RBJ_M_MDAGGER = 7
+    RBJ_MDAGGER_M = 8
+
+
+class DefaultChirality(enum.IntEnum):
+    """Reference QMGDefaultChirality (stencil_2d.h:77-82)."""
+    NONE = 0
+    GAMMA_5 = 1
+    SIGMA_1 = 2
+
+
+class SigmaType(enum.IntEnum):
+    """Reference QMGSigmaType (stencil_2d.h:86-94)."""
+    NONE = 0
+    DEFAULT = 1
+    GAMMA_5 = 2
+    SIGMA_1 = 3
+    GAMMA_5_L_RBJ = 4
+    GAMMA_5_R_RBJ = 5
+
+
+class ChiralityState(enum.IntEnum):
+    """Reference chirality_state (stencil_2d.h:55-60)."""
+    NO = 0
+    YES = 1
+    UNKNOWN = 2
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["clover", "hopping", "shift", "eo_shift", "dof_shift"],
+         meta_fields=["lat"])
+@dataclasses.dataclass
+class StencilCoeffs:
+    """One coefficient set of a distance-1 stencil (a pytree).
+
+    ``clover``/``hopping`` may be None when the piece does not exist
+    (reference QMG_PIECE_* allocation flags, stencil_2d.h:43-52, :213-252).
+    """
+    lat: Lattice2D
+    clover: Optional[jax.Array]
+    hopping: Optional[jax.Array]
+    shift: jax.Array
+    eo_shift: jax.Array
+    dof_shift: jax.Array
+
+    def replace(self, **kw) -> "StencilCoeffs":
+        return dataclasses.replace(self, **kw)
+
+
+def make_coeffs(lat: Lattice2D, clover=None, hopping=None, shift=0.0,
+                eo_shift=0.0, dof_shift=0.0, dtype=jnp.complex128
+                ) -> StencilCoeffs:
+    c = jnp.asarray(shift, dtype=dtype)
+    e = jnp.asarray(eo_shift, dtype=dtype)
+    d = jnp.asarray(dof_shift, dtype=dtype)
+    return StencilCoeffs(lat=lat, clover=clover, hopping=hopping, shift=c,
+                         eo_shift=e, dof_shift=d)
+
+
+# ---------------------------------------------------------------------------
+# Matvec family (reference stencil_2d.h:666-936). All are pure functions;
+# unlike the reference they *return* results rather than accumulate.
+# ---------------------------------------------------------------------------
+
+def apply_clover(coeffs: StencilCoeffs, x):
+    """lhs = clover * rhs on the full lattice (reference :694-703)."""
+    if coeffs.clover is None:
+        return jnp.zeros_like(x)
+    return linalg.site_matvec(coeffs.clover, x)
+
+
+def apply_hopping(coeffs: StencilCoeffs, x, direction: Optional[int] = None):
+    """Hopping term on both parities: shift-then-matvec per direction.
+
+    Equivalent to apply_M_eo + apply_M_oe (reference :706-841). With a
+    ``direction``, only that term (used by the Galerkin coarse builder,
+    operators/coarse.h:217 etc.).
+    """
+    if coeffs.hopping is None or coeffs.lat.volume == 1:
+        return jnp.zeros_like(x)
+    dirs = ALL_DIRS if direction is None else (direction,)
+    out = jnp.zeros_like(x)
+    for d in dirs:
+        out = out + linalg.site_matvec(coeffs.hopping[d], cshift_pull(x, d))
+    return out
+
+
+def apply_hopping_half(coeffs: StencilCoeffs, x_half, src_parity: int,
+                       direction: Optional[int] = None):
+    """One parity of the hopping term from a half-lattice input.
+
+    Computes (D_eo x_o) for src_parity=1, or (D_oe x_e) for src_parity=0,
+    returning a (Y, Xh, nc) array on the destination parity. Mirrors
+    apply_M_eo / apply_M_oe (reference :706-841) without dead halves.
+    """
+    dest = 1 - src_parity
+    dirs = ALL_DIRS if direction is None else (direction,)
+    out = jnp.zeros_like(x_half)
+    if coeffs.hopping is None or coeffs.lat.volume == 1:
+        return out
+    for d in dirs:
+        pulled = cshift_pull_half(x_half, src_parity, d)
+        out = out + linalg.site_matvec(coeffs.hopping[d, dest], pulled)
+    return out
+
+
+def apply_shift(coeffs: StencilCoeffs, x):
+    """Mass/eo/dof shifts (reference apply_M_shift, :865-909)."""
+    lat = coeffs.lat
+    nc = lat.nc
+    if lat.volume == 1:
+        # Single site lives at parity 0 (reference :870-888).
+        s = coeffs.shift + coeffs.eo_shift
+        if nc % 2 == 0:
+            half = nc // 2
+            d = coeffs.dof_shift
+            top = (s + d) * x[..., :half]
+            bot = (s - d) * x[..., half:]
+            out = jnp.concatenate([top, bot], axis=-1)
+        else:
+            out = s * x
+        return out.at[1].set(0.0) if x.shape[0] == 2 else out
+    even = (coeffs.shift + coeffs.eo_shift) * x[0]
+    odd = (coeffs.shift - coeffs.eo_shift) * x[1]
+    out = jnp.stack([even, odd])
+    if nc % 2 == 0:
+        half = nc // 2
+        d = coeffs.dof_shift
+        out = out.at[..., :half].add(d * x[..., :half])
+        out = out.at[..., half:].add(-d * x[..., half:])
+    return out
+
+
+def apply_M(coeffs: StencilCoeffs, x):
+    """Full operator lhs = M rhs (reference apply_M, :912-936)."""
+    out = apply_clover(coeffs, x)
+    out = out + apply_hopping(coeffs, x)
+    out = out + apply_shift(coeffs, x)
+    return out
+
+
+def apply_M_ee(coeffs: StencilCoeffs, x_even):
+    """Clover+shift on the even half only (reference apply_M_ee, :666-677)."""
+    out = jnp.zeros_like(x_even)
+    if coeffs.clover is not None:
+        out = linalg.site_matvec(coeffs.clover[0], x_even)
+    return out + coeffs.shift * x_even
+
+
+def apply_M_oo(coeffs: StencilCoeffs, x_odd):
+    """Clover+shift on the odd half only (reference apply_M_oo, :680-692)."""
+    out = jnp.zeros_like(x_odd)
+    if coeffs.clover is not None:
+        out = linalg.site_matvec(coeffs.clover[1], x_odd)
+    return out + coeffs.shift * x_odd
+
+
+# ---------------------------------------------------------------------------
+# Derived coefficient sets.
+# ---------------------------------------------------------------------------
+
+def build_dagger(coeffs: StencilCoeffs) -> StencilCoeffs:
+    """Coefficients of M^dagger (reference build_dagger_stencil, :1080-1139).
+
+    dagger_clover(s) = clover(s)^dagger; the +mu dagger link at s is the
+    conj-transpose of the -mu link at s+mu (and vice versa); shifts conjugate.
+    """
+    d_clover = (linalg.site_conjtrans(coeffs.clover)
+                if coeffs.clover is not None else None)
+    d_hopping = None
+    if coeffs.hopping is not None:
+        parts = []
+        for d in ALL_DIRS:
+            opp = OPPOSITE_DIR[d]
+            pulled = cshift_pull(coeffs.hopping[opp], d)
+            parts.append(linalg.site_conjtrans(pulled))
+        d_hopping = jnp.stack(parts)
+    return coeffs.replace(clover=d_clover, hopping=d_hopping,
+                          shift=jnp.conj(coeffs.shift),
+                          eo_shift=jnp.conj(coeffs.eo_shift),
+                          dof_shift=jnp.conj(coeffs.dof_shift))
+
+
+def mass_pattern(coeffs: StencilCoeffs):
+    """Per-site diagonal mass matrix with eo/dof sign structure.
+
+    Mirrors the even/odd mass patterns of build_rbjacobi_stencil
+    (reference :1492-1528): diagonal entries shift +- eo_shift (by parity)
+    +- dof_shift (by dof half, when nc is even).
+    """
+    lat = coeffs.lat
+    nc = lat.nc
+    diag_even = jnp.full((nc,), coeffs.shift + coeffs.eo_shift,
+                         dtype=coeffs.shift.dtype)
+    diag_odd = jnp.full((nc,), coeffs.shift - coeffs.eo_shift,
+                        dtype=coeffs.shift.dtype)
+    if nc % 2 == 0:
+        half = nc // 2
+        sgn = jnp.concatenate([jnp.ones(half), -jnp.ones(half)])
+        diag_even = diag_even + coeffs.dof_shift * sgn
+        diag_odd = diag_odd + coeffs.dof_shift * sgn
+    if lat.volume == 1:
+        diag_odd = diag_even  # single site is "even" (reference :1520-1523)
+    me = jnp.diag(diag_even)
+    mo = jnp.diag(diag_odd)
+    pat = jnp.stack([me, mo])  # (2, nc, nc)
+    return jnp.broadcast_to(pat[:, None, None, :, :], lat.cm_shape())
+
+
+@dataclasses.dataclass
+class RBJacobiSet:
+    """rbjacobi coefficient set + the clover inverse needed for reconstruct
+    (reference rbjacobi_clover/hopping/cinv, stencil_2d.h:191-199)."""
+    coeffs: StencilCoeffs
+    cinv: jax.Array  # (2, Y, Xh, nc, nc) = (clover + mass)^{-1}
+
+
+def build_rbjacobi(coeffs: StencilCoeffs) -> RBJacobiSet:
+    """Right block Jacobi A B^{-1}, B = clover + mass
+    (reference build_rbjacobi_stencil, :1452-1601).
+
+    rbj clover = identity; rbj +mu hopping at s = hopping_+mu(s) cinv(s+mu)
+    (the reference computes this with a cshift-conjugation dance,
+    :1556-1582; here it is a pull of cinv); shifts vanish.
+    """
+    lat = coeffs.lat
+    b = mass_pattern(coeffs)
+    if coeffs.clover is not None:
+        b = b + coeffs.clover
+    cinv = linalg.site_inv_qr(b)
+    rbj_clover = linalg.identity_like(b)
+    rbj_hopping = None
+    if coeffs.hopping is not None:
+        parts = []
+        for d in ALL_DIRS:
+            pulled_cinv = cshift_pull(cinv, d)
+            parts.append(linalg.site_matmul(coeffs.hopping[d], pulled_cinv))
+        rbj_hopping = jnp.stack(parts)
+    zero = jnp.zeros_like(coeffs.shift)
+    rbj = coeffs.replace(clover=rbj_clover, hopping=rbj_hopping, shift=zero,
+                         eo_shift=zero, dof_shift=zero)
+    return RBJacobiSet(coeffs=rbj, cinv=cinv)
+
+
+def build_rbj_dagger(rbj: RBJacobiSet) -> RBJacobiSet:
+    """(A B^{-1})^dagger coefficients
+    (reference build_rbj_dagger_stencil, :1989-2060)."""
+    dag = build_dagger(rbj.coeffs)
+    zero = jnp.zeros_like(dag.shift)
+    dag = dag.replace(shift=zero, eo_shift=zero, dof_shift=zero)
+    return RBJacobiSet(coeffs=dag, cinv=linalg.site_conjtrans(rbj.cinv))
+
+
+# ---------------------------------------------------------------------------
+# Schur (even-odd reduced) operators in the rbjacobi basis
+# (reference :1886-1983). These act on even-half arrays (Y, Xh, nc).
+# ---------------------------------------------------------------------------
+
+def apply_rbj_schur(rbj: RBJacobiSet, x_even):
+    """(1 - D_eo D_oo^{-1} D_oe D_ee^{-1}) on the even half
+    (reference apply_M_rbjacobi_schur, :1886-1908)."""
+    t_odd = apply_hopping_half(rbj.coeffs, x_even, src_parity=0)
+    t_even = apply_hopping_half(rbj.coeffs, t_odd, src_parity=1)
+    return x_even - t_even
+
+
+def prepare_rbj_schur(rbj: RBJacobiSet, b):
+    """b_r = b_e - D_eo D_oo^{-1} b_o (reference :1912-1928)."""
+    t_even = apply_hopping_half(rbj.coeffs, b[1], src_parity=1)
+    return b[0] - t_even
+
+
+def reconstruct_rbj_schur(rbj: RBJacobiSet, y_even, b):
+    """x_e = D_ee^{-1} y_e; x_o = D_oo^{-1}(b_o - D_oe D_ee^{-1} y_e)
+    (reference :1932-1957)."""
+    t_odd = apply_hopping_half(rbj.coeffs, y_even, src_parity=0)
+    x_e = linalg.site_matvec(rbj.cinv[0], y_even)
+    x_o = linalg.site_matvec(rbj.cinv[1], b[1] - t_odd)
+    return jnp.stack([x_e, x_o])
+
+
+# ---------------------------------------------------------------------------
+# Stateful wrapper with the reference's full API surface.
+# ---------------------------------------------------------------------------
+
+class Stencil2D:
+    """Holds an original coefficient set plus lazily-built derived sets.
+
+    The reference's 9-variant dispatch (apply_M/prepare_M/reconstruct_M by
+    QMGStencilType, stencil_2d.h:2418-2527) is reproduced; every apply is a
+    pure function of (coefficient pytree, input array), so they can be
+    passed to the jitted Krylov solvers directly.
+    """
+
+    def __init__(self, coeffs: StencilCoeffs):
+        self.coeffs = coeffs
+        self._dagger: Optional[StencilCoeffs] = None
+        self._rbjacobi: Optional[RBJacobiSet] = None
+        self._rbj_dagger: Optional[RBJacobiSet] = None
+
+    # --- construction / update ---
+    @property
+    def lat(self) -> Lattice2D:
+        return self.coeffs.lat
+
+    @property
+    def shift(self):
+        return self.coeffs.shift
+
+    def update_shifts(self, shift=None, eo_shift=None, dof_shift=None):
+        """Reference update_shift* (:640-660). Invalidates derived sets."""
+        kw = {}
+        if shift is not None:
+            kw["shift"] = jnp.asarray(shift, dtype=self.coeffs.shift.dtype)
+        if eo_shift is not None:
+            kw["eo_shift"] = jnp.asarray(eo_shift,
+                                         dtype=self.coeffs.shift.dtype)
+        if dof_shift is not None:
+            kw["dof_shift"] = jnp.asarray(dof_shift,
+                                          dtype=self.coeffs.shift.dtype)
+        self.coeffs = self.coeffs.replace(**kw)
+        self.invalidate_derived()
+
+    def update_coeffs(self, clover=None, hopping=None):
+        kw = {}
+        if clover is not None:
+            kw["clover"] = clover
+        if hopping is not None:
+            kw["hopping"] = hopping
+        self.coeffs = self.coeffs.replace(**kw)
+        self.invalidate_derived()
+
+    def invalidate_derived(self):
+        """Reference kills dagger/rbjacobi builds on update_links
+        (e.g. operators/wilson.h:211-225)."""
+        self._dagger = None
+        self._rbjacobi = None
+        self._rbj_dagger = None
+
+    # --- lazily built derived stencils ---
+    @property
+    def built_dagger(self) -> bool:
+        return self._dagger is not None
+
+    @property
+    def built_rbjacobi(self) -> bool:
+        return self._rbjacobi is not None
+
+    @property
+    def built_rbj_dagger(self) -> bool:
+        return self._rbj_dagger is not None
+
+    def build_dagger_stencil(self) -> StencilCoeffs:
+        if self._dagger is None:
+            self._dagger = build_dagger(self.coeffs)
+        return self._dagger
+
+    def build_rbjacobi_stencil(self) -> RBJacobiSet:
+        if self._rbjacobi is None:
+            if (self.coeffs.clover is None
+                    and complex(self.coeffs.shift) == 0
+                    and complex(self.coeffs.eo_shift) == 0
+                    and complex(self.coeffs.dof_shift) == 0):
+                raise ValueError(
+                    "rbjacobi requires a clover term or shift "
+                    "(reference stencil_2d.h:1471-1475)")
+            self._rbjacobi = build_rbjacobi(self.coeffs)
+        return self._rbjacobi
+
+    def build_rbj_dagger_stencil(self) -> RBJacobiSet:
+        if self._rbj_dagger is None:
+            self._rbj_dagger = build_rbj_dagger(self.build_rbjacobi_stencil())
+        return self._rbj_dagger
+
+    @property
+    def dagger_coeffs(self) -> StencilCoeffs:
+        return self.build_dagger_stencil()
+
+    @property
+    def rbjacobi(self) -> RBJacobiSet:
+        return self.build_rbjacobi_stencil()
+
+    @property
+    def rbj_dagger(self) -> RBJacobiSet:
+        return self.build_rbj_dagger_stencil()
+
+    # --- uniform dispatch (reference :2418-2527) ---
+    def apply_M(self, x, stype: StencilType = StencilType.ORIGINAL):
+        t = StencilType(stype)
+        if t == StencilType.ORIGINAL:
+            return apply_M(self.coeffs, x)
+        if t == StencilType.DAGGER:
+            return apply_M(self.dagger_coeffs, x)
+        if t == StencilType.RIGHT_JACOBI:
+            return apply_M(self.rbjacobi.coeffs, x)
+        if t == StencilType.RIGHT_SCHUR:
+            return apply_rbj_schur(self.rbjacobi, x)
+        if t == StencilType.M_MDAGGER:
+            return apply_M(self.coeffs, apply_M(self.dagger_coeffs, x))
+        if t == StencilType.MDAGGER_M:
+            return apply_M(self.dagger_coeffs, apply_M(self.coeffs, x))
+        if t == StencilType.RBJ_DAGGER:
+            return apply_M(self.rbj_dagger.coeffs, x)
+        if t == StencilType.RBJ_M_MDAGGER:
+            return apply_M(self.rbjacobi.coeffs,
+                           apply_M(self.rbj_dagger.coeffs, x))
+        if t == StencilType.RBJ_MDAGGER_M:
+            return apply_M(self.rbj_dagger.coeffs,
+                           apply_M(self.rbjacobi.coeffs, x))
+        raise ValueError(f"invalid stencil type {stype}")
+
+    def prepare_M(self, b, stype: StencilType = StencilType.ORIGINAL):
+        """b -> b_prep for the chosen solve (reference :2455-2490)."""
+        t = StencilType(stype)
+        if t == StencilType.RIGHT_SCHUR:
+            return prepare_rbj_schur(self.rbjacobi, b)
+        if t == StencilType.MDAGGER_M:
+            return apply_M(self.dagger_coeffs, b)
+        if t == StencilType.RBJ_MDAGGER_M:
+            return apply_M(self.rbj_dagger.coeffs, b)
+        return b
+
+    def reconstruct_M(self, y, b, stype: StencilType = StencilType.ORIGINAL):
+        """y (solve result) -> x (solution of M x = b) (reference :2492-2527)."""
+        t = StencilType(stype)
+        if t == StencilType.RIGHT_JACOBI:
+            return linalg.site_matvec(self.rbjacobi.cinv, y)
+        if t == StencilType.RIGHT_SCHUR:
+            return reconstruct_rbj_schur(self.rbjacobi, y, b)
+        if t == StencilType.M_MDAGGER:
+            return apply_M(self.dagger_coeffs, y)
+        if t == StencilType.RBJ_M_MDAGGER:
+            return linalg.site_matvec(self.rbjacobi.cinv,
+                                      apply_M(self.rbj_dagger.coeffs, y))
+        if t == StencilType.RBJ_MDAGGER_M:
+            return linalg.site_matvec(self.rbjacobi.cinv, y)
+        return y
+
+    def get_apply_function(self, stype: StencilType = StencilType.ORIGINAL):
+        """Closure analog of the reference's C function pointers
+        (stencil_2d.h:2530-2566)."""
+        t = StencilType(stype)
+        return lambda x: self.apply_M(x, t)
+
+    def solve_size_shape(self, stype: StencilType):
+        """Shape of the Krylov vector for a given solve type."""
+        lat = self.lat
+        if StencilType(stype) == StencilType.RIGHT_SCHUR:
+            return (lat.y_len, lat.xh, lat.nc)
+        return lat.cv_shape()
+
+    # --- chirality interface (reference :977-1073); operators override ---
+    @staticmethod
+    def get_dof(i: int = 0) -> int:
+        return -1
+
+    @staticmethod
+    def has_chirality() -> ChiralityState:
+        return ChiralityState.UNKNOWN
+
+    def get_default_chirality(self) -> DefaultChirality:
+        raise NotImplementedError
+
+    def gamma5(self, x):
+        """Default: identity (reference :978-987)."""
+        return x
+
+    def sigma1(self, x):
+        """Default sigma1: swap dof halves (reference coarse sigma1 pattern,
+        operators/coarse.h:526-541); identity for odd nc."""
+        nc = self.lat.nc
+        if nc % 2:
+            return x
+        half = nc // 2
+        return jnp.concatenate([x[..., half:], x[..., :half]], axis=-1)
+
+    def chiral_projection(self, x, is_up: bool):
+        raise NotImplementedError
+
+    def chiral_projection_both(self, x):
+        """Returns (up, down) projections (reference :997)."""
+        return (self.chiral_projection(x, True),
+                self.chiral_projection(x, False))
+
+    def apply_sigma(self, x, stype: SigmaType = SigmaType.DEFAULT):
+        """Reference apply_sigma (:1015-1073)."""
+        t = SigmaType(stype)
+        if t == SigmaType.NONE:
+            return x
+        if t == SigmaType.DEFAULT:
+            dc = self.get_default_chirality()
+            if dc == DefaultChirality.GAMMA_5:
+                return self.gamma5(x)
+            if dc == DefaultChirality.SIGMA_1:
+                return self.sigma1(x)
+            return x
+        if t == SigmaType.GAMMA_5:
+            return self.gamma5(x)
+        if t == SigmaType.SIGMA_1:
+            return self.sigma1(x)
+        if t == SigmaType.GAMMA_5_R_RBJ:
+            # B gamma_5 (reference :1045-1058).
+            g = self.gamma5(x)
+            out = apply_clover(self.coeffs, g)
+            return out + self.coeffs.shift * g
+        if t == SigmaType.GAMMA_5_L_RBJ:
+            # B^{-dagger} gamma_5 (reference :1059-1071).
+            g = self.gamma5(x)
+            return linalg.site_matvec(self.rbj_dagger.cinv, g)
+        raise ValueError(f"invalid sigma type {stype}")

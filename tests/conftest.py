@@ -1,0 +1,32 @@
+"""Test configuration: CPU backend with a virtual 8-device mesh and fp64.
+
+Numerics parity with the reference is at double precision; sharding tests
+use a virtual CPU mesh (the driver separately dry-runs the multi-chip path
+via __graft_entry__.dryrun_multichip).
+"""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+# The container's sitecustomize imports jax with JAX_PLATFORMS=axon before
+# conftest runs; override via the config API (backends are created lazily).
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import pytest  # noqa: E402
+
+REFERENCE_CFGS = "/root/reference/tests/common_cfgs_u1"
+
+
+@pytest.fixture
+def cfg_dir():
+    if not os.path.isdir(REFERENCE_CFGS):
+        pytest.skip("shipped gauge-config fixtures not available")
+    return REFERENCE_CFGS
