@@ -415,7 +415,8 @@ def tfqmr(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8) -> SolveResult:
 
     w0 = r0
     u0 = r0
-    v0 = matvec(u0)
+    au0 = matvec(u0)
+    v0 = au0  # v_0 = A u_0
     d0 = jnp.zeros_like(b)
     tau0 = jnp.sqrt(norm2sq(r0))
     theta0 = jnp.zeros((), dtype=rdt)
@@ -434,17 +435,17 @@ def tfqmr(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8) -> SolveResult:
         return x, w, d, tau, theta, eta
 
     def cond(s):
-        x, w, u, v, d, tau, theta, eta, rho, k, ops = s
+        x, w, u, au, v, d, tau, theta, eta, rho, k, ops = s
         # tau bounds ||r|| up to sqrt(2k+1); standard proxy criterion.
         return jnp.logical_and(k < max_iter, tau * tau > target)
 
     def body(s):
-        x, w, u, v, d, tau, theta, eta, rho, k, ops = s
+        x, w, u, au, v, d, tau, theta, eta, rho, k, ops = s
         alpha = rho / vdot(rtilde, v)
         u2 = u - alpha * v  # odd-index u
-        # even half-step: A u = v (already computed)
+        # even half-step with A u (carried; v = A p != A u in general)
         x, w, d, tau, theta, eta = half_step(
-            x, w, u, v, d, tau, theta, eta, alpha)
+            x, w, u, au, d, tau, theta, eta, alpha)
         # odd half-step
         au2 = matvec(u2)
         x, w, d, tau, theta, eta = half_step(
@@ -452,11 +453,13 @@ def tfqmr(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8) -> SolveResult:
         rho_new = vdot(rtilde, w)
         beta = rho_new / rho
         u = w + beta * u2
-        v = matvec(u) + beta * (au2 + beta * v)
-        return (x, w, u, v, d, tau, theta, eta, rho_new, k + 1, ops + 2)
+        au = matvec(u)  # reused as the next even half-step's A u
+        v = au + beta * (au2 + beta * v)
+        return (x, w, u, au, v, d, tau, theta, eta, rho_new, k + 1,
+                ops + 2)
 
-    state0 = (x0, w0, u0, v0, d0, tau0, theta0, eta0, rho0, _i32(0),
+    state0 = (x0, w0, u0, au0, v0, d0, tau0, theta0, eta0, rho0, _i32(0),
               _i32(2))
-    x, w, u, v, d, tau, theta, eta, rho, k, ops = jax.lax.while_loop(
-        cond, body, state0)
+    out = jax.lax.while_loop(cond, body, state0)
+    x, w, u, au, v, d, tau, theta, eta, rho, k, ops = out
     return SolveResult(x, k, tau * tau, tau * tau <= target, ops)

@@ -404,7 +404,11 @@ class Stencil2D:
 
     def build_dagger_stencil(self) -> StencilCoeffs:
         if self._dagger is None:
-            self._dagger = build_dagger(self.coeffs)
+            # ensure_compile_time_eval: lazy builds may be triggered inside
+            # a jit trace (omnistaging would otherwise stage the build and
+            # leak tracers into this cache); the coefficients are concrete.
+            with jax.ensure_compile_time_eval():
+                self._dagger = build_dagger(self.coeffs)
         return self._dagger
 
     def build_rbjacobi_stencil(self) -> RBJacobiSet:
@@ -416,12 +420,15 @@ class Stencil2D:
                 raise ValueError(
                     "rbjacobi requires a clover term or shift "
                     "(reference stencil_2d.h:1471-1475)")
-            self._rbjacobi = build_rbjacobi(self.coeffs)
+            with jax.ensure_compile_time_eval():
+                self._rbjacobi = build_rbjacobi(self.coeffs)
         return self._rbjacobi
 
     def build_rbj_dagger_stencil(self) -> RBJacobiSet:
         if self._rbj_dagger is None:
-            self._rbj_dagger = build_rbj_dagger(self.build_rbjacobi_stencil())
+            rbj = self.build_rbjacobi_stencil()
+            with jax.ensure_compile_time_eval():
+                self._rbj_dagger = build_rbj_dagger(rbj)
         return self._rbj_dagger
 
     @property

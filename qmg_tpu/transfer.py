@@ -1,0 +1,269 @@
+"""Aggregation-based transfer operators (prolong / restrict).
+
+TPU-native counterpart of reference transfer/transfer.h:42-818.
+
+The reference builds a one-to-many ``coarse_map`` (sorted fine cv indices
+per coarse site, transfer/transfer.h:410-448) and loops over it. Here the
+map becomes a static *permutation*: a host-precomputed gather that
+reorders a fine field (2, Y, Xh, nc) into blocked form
+(2c, Yc, Xhc, B) with B = By*Bx*nc fine dof per coarse site. Then
+
+    restrict_f2c: coarse[s, v] = sum_b conj(NV[v, s, b]) fine[s, b]
+    prolong_c2f:  fine[s, b]  = sum_v NV[v, s, b] coarse[s, v]
+
+are einsums against the blocked null-vector tensor NV - batched (B x nvec)
+matmuls that map straight onto the MXU.
+
+Block (bi-)orthonormalization follows the reference's Osborn-style
+restrict/prolong Gram-Schmidt (transfer/transfer.h:514-769) vectorized
+over blocks, capturing the block Cholesky (symmetric) or LU (asymmetric)
+factors the coarse chirality machinery needs (operators/coarse.h:669-892).
+"""
+
+from __future__ import annotations
+
+import enum
+from typing import Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .lattice import Lattice2D
+
+
+class DoublingType(enum.IntEnum):
+    """How chiral doubling of the null vectors was done
+    (reference QMGDoublingType, transfer/transfer.h:35-40)."""
+    NONE = 0
+    PROJECTION = 1
+    OPERATOR = 2
+
+
+def _block_permutation(fine_lat: Lattice2D, coarse_lat: Lattice2D):
+    """Flat gather indices mapping fine eo layout -> blocked layout.
+
+    Returns (perm, inv_perm, B): perm has shape (2c, Yc, Xhc, B) with
+    values indexing the flattened fine cv field; the b axis is ordered by
+    ascending fine flat index within each block - the same ordering as the
+    reference's merge-sorted coarse_map (transfer/transfer.h:440).
+    """
+    bx = fine_lat.x_len // coarse_lat.x_len
+    by = fine_lat.y_len // coarse_lat.y_len
+    if bx * coarse_lat.x_len != fine_lat.x_len or \
+       by * coarse_lat.y_len != fine_lat.y_len:
+        raise ValueError("fine dims must divide evenly by coarse dims "
+                         "(reference transfer/transfer.h:130-133)")
+    nc = fine_lat.nc
+    B = bx * by * nc
+
+    # Fine flat cv index for every (x, y, c).
+    xs = np.arange(fine_lat.x_len)
+    ys = np.arange(fine_lat.y_len)
+    cs = np.arange(nc)
+    xg, yg, cg = np.meshgrid(xs, ys, cs, indexing="ij")  # (X, Y, nc)
+    p = (xg + yg) % 2
+    flat = ((p * (fine_lat.volume // 2)
+             + yg * fine_lat.xh + (xg // 2) % fine_lat.xh) * nc + cg)
+
+    # Coarse flat site index for every fine (x, y).
+    cxg, cyg = xg // bx, yg // by
+    cp = (cxg + cyg) % 2
+    if coarse_lat.volume == 1:
+        cflat = np.zeros_like(cxg)
+    else:
+        cflat = (cp * (coarse_lat.volume // 2) + cyg * coarse_lat.xh
+                 + (cxg // 2) % coarse_lat.xh)
+
+    # Group fine flat indices by coarse site, sorted ascending.
+    perm = np.empty((coarse_lat.volume, B), dtype=np.int64)
+    order = np.lexsort((flat.ravel(), cflat.ravel()))
+    perm[...] = flat.ravel()[order].reshape(coarse_lat.volume, B)
+
+    inv_perm = np.empty(fine_lat.size_cv, dtype=np.int64)
+    inv_perm[perm.ravel()] = np.arange(fine_lat.size_cv)
+    cshape = (2, coarse_lat.y_len, coarse_lat.xh, B)
+    if coarse_lat.volume == 1:
+        cshape = (1, 1, 1, B)
+    return perm.reshape(cshape), inv_perm, B
+
+
+class TransferMG:
+    """Transfer between a fine and a coarse lattice from null vectors.
+
+    Arguments mirror the reference constructors (transfer/transfer.h:118,
+    :185): ``null_vectors`` is (nvec, 2, Y, Xh, nc) (nvec = coarse nc);
+    pass ``restrict_null_vectors`` for an asymmetric R != P^dagger pair.
+    """
+
+    def __init__(self, fine_lat: Lattice2D, coarse_lat: Lattice2D,
+                 null_vectors, do_block_ortho: bool = True,
+                 save_decomp: bool = False,
+                 doubling: DoublingType = DoublingType.NONE,
+                 restrict_null_vectors=None):
+        self.fine_lat = fine_lat
+        self.coarse_lat = coarse_lat
+        self.doubling = DoublingType(doubling)
+        nvec = coarse_lat.nc
+        nv = jnp.asarray(null_vectors)
+        if nv.shape[0] != nvec:
+            raise ValueError(f"need {nvec} null vectors, got {nv.shape[0]}")
+
+        self._perm, self._inv_perm, self.block_dof = _block_permutation(
+            fine_lat, coarse_lat)
+        self._coarse_is_point = coarse_lat.volume == 1
+
+        # Blocked null vectors: (nvec, 2c, Yc, Xhc, B).
+        nvb = self._to_blocked_batch(nv)
+        self.block_cholesky = None  # (2c,Yc,Xhc,nvec,nvec), [i,j]=row i col j
+        self.block_L = None
+        self.block_U = None
+
+        if restrict_null_vectors is None:
+            self._restrict_nvb = None
+            if do_block_ortho:
+                nvb, chol = _block_orthonormalize(nvb)
+                if save_decomp:
+                    self.block_cholesky = chol
+                # Reference re-orthonormalizes a second time for numerical
+                # quality, keeping the first pass's decomposition
+                # (transfer/transfer.h:159-174).
+                nvb, _ = _block_orthonormalize(nvb)
+        else:
+            rnv = jnp.asarray(restrict_null_vectors)
+            rnvb = self._to_blocked_batch(rnv)
+            if do_block_ortho:
+                nvb, rnvb, L, U = _block_bi_orthonormalize(nvb, rnvb)
+                if save_decomp:
+                    self.block_L, self.block_U = L, U
+                nvb, rnvb, _, _ = _block_bi_orthonormalize(nvb, rnvb)
+            self._restrict_nvb = rnvb
+        self._nvb = nvb
+
+    # --- layout plumbing ---
+    def _to_blocked(self, fine):
+        """(2, Y, Xh, nc) -> (2c, Yc, Xhc, B)."""
+        return fine.reshape(-1)[self._perm]
+
+    def _to_blocked_batch(self, fine_batch):
+        return jax.vmap(self._to_blocked)(fine_batch)
+
+    def _from_blocked(self, blocked):
+        """(2c, Yc, Xhc, B) -> (2, Y, Xh, nc)."""
+        return blocked.reshape(-1)[self._inv_perm].reshape(
+            self.fine_lat.cv_shape())
+
+    def _coarse_shape(self, blocked_like):
+        if self._coarse_is_point:
+            return (2, 1, 1, self.coarse_lat.nc)
+        return self.coarse_lat.cv_shape()
+
+    # --- public transfer ops (reference :283-294) ---
+    def restrict_f2c(self, fine):
+        """coarse += conj(NV) . fine per block (reference :487-511).
+        Uses restrict vectors when R != P^dagger (reference :291-294)."""
+        nvb = self._nvb if self._restrict_nvb is None else self._restrict_nvb
+        fb = self._to_blocked(fine)
+        coarse = jnp.einsum("v...b,...b->...v", jnp.conj(nvb), fb)
+        if self._coarse_is_point:
+            # blocked layout is (1,1,1,B); coarse field is (2,1,1,nvec)
+            # with the single site at parity 0.
+            out = jnp.zeros((2, 1, 1, self.coarse_lat.nc),
+                            dtype=coarse.dtype)
+            return out.at[0].set(coarse[0])
+        return coarse
+
+    def prolong_c2f(self, coarse):
+        """fine = NV . coarse per block (reference :455-480)."""
+        if self._coarse_is_point:
+            coarse = coarse[0:1]
+        fb = jnp.einsum("v...b,...v->...b", self._nvb, coarse)
+        return self._from_blocked(fb)
+
+    def is_symmetric(self) -> bool:
+        return self._restrict_nvb is None
+
+    def has_decompositions(self) -> bool:
+        if self.is_symmetric():
+            return self.block_cholesky is not None
+        return self.block_L is not None and self.block_U is not None
+
+    def get_doubling(self) -> DoublingType:
+        return self.doubling
+
+    @property
+    def null_vectors(self):
+        """Block-orthonormalized null vectors, (nvec, 2, Y, Xh, nc)."""
+        return jax.vmap(self._from_blocked)(self._nvb)
+
+    @property
+    def restrict_null_vectors(self):
+        if self._restrict_nvb is None:
+            return None
+        return jax.vmap(self._from_blocked)(self._restrict_nvb)
+
+
+# ---------------------------------------------------------------------------
+# Block (bi-)orthonormalization over the blocked layout. V has shape
+# (nvec, ..., B); all operations are per-coarse-site (the ... axes).
+# ---------------------------------------------------------------------------
+
+def _bdot(a, b):
+    """Per-block <a, b> = sum_b conj(a) b -> (...)."""
+    return jnp.sum(jnp.conj(a) * b, axis=-1)
+
+
+def _block_orthonormalize(nvb):
+    """Gram-Schmidt within each block (reference :514-607).
+
+    Returns (orthonormalized nvb, cholesky) with cholesky[..., j, i] =
+    <j, i> for j < i and [..., i, i] = block norm - the upper-triangular
+    R factor the reference captures (transfer/transfer.h:554-594).
+    """
+    nvec = nvb.shape[0]
+    site_shape = nvb.shape[1:-1]
+    chol = jnp.zeros(site_shape + (nvec, nvec), dtype=nvb.dtype)
+    vs = [nvb[i] for i in range(nvec)]
+    for i in range(nvec):
+        for j in range(i):
+            g = _bdot(vs[j], vs[i])
+            chol = chol.at[..., j, i].set(g)
+            vs[i] = vs[i] - g[..., None] * vs[j]
+        nrm = jnp.sqrt(jnp.real(_bdot(vs[i], vs[i])))
+        chol = chol.at[..., i, i].set(nrm.astype(nvb.dtype))
+        vs[i] = vs[i] / nrm[..., None]
+    return jnp.stack(vs), chol
+
+
+def _block_bi_orthonormalize(pvb, rvb):
+    """Bi-orthonormalization of prolong/restrict vector pairs
+    (reference :610-769). Returns (pvb, rvb, L, U) with
+    U[..., j, i] = <r_j, p_i>, L[..., i, j] = conj applied as in the
+    reference (the conj_vector fix-up at :759-764), and the
+    phase-preserving diagonal normalization of :694-755.
+    """
+    nvec = pvb.shape[0]
+    site_shape = pvb.shape[1:-1]
+    L = jnp.zeros(site_shape + (nvec, nvec), dtype=pvb.dtype)
+    U = jnp.zeros_like(L)
+    ps = [pvb[i] for i in range(nvec)]
+    rs = [rvb[i] for i in range(nvec)]
+    for i in range(nvec):
+        for j in range(i):
+            u = _bdot(rs[j], ps[i])
+            U = U.at[..., j, i].set(u)
+            ps[i] = ps[i] - u[..., None] * ps[j]
+            lt = _bdot(ps[j], rs[i])
+            # conj fix-up applied immediately (reference defers to :763).
+            L = L.at[..., i, j].set(jnp.conj(lt))
+            rs[i] = rs[i] - lt[..., None] * rs[j]
+        d = _bdot(rs[i], ps[i])
+        # Phase-preserving inverse-sqrt: f = |d|^{-1/2} e^{i arg d}.
+        f = jnp.exp(1j * jnp.angle(d)) / jnp.sqrt(jnp.abs(d))
+        rs[i] = rs[i] * f[..., None]
+        # L diagonal: conj(1/f) = |d|^{1/2} e^{i arg d}.
+        L = L.at[..., i, i].set(jnp.conj(1.0 / f))
+        f2 = 1.0 / jnp.sqrt(jnp.abs(d))
+        ps[i] = ps[i] * f2[..., None]
+        U = U.at[..., i, i].set((1.0 / f2).astype(U.dtype))
+    return jnp.stack(ps), jnp.stack(rs), L, U

@@ -1,0 +1,91 @@
+"""K-cycle end-to-end (reference tests n09 + n13).
+
+n09: geometric K-cycle on the free operator via StatefulMultigridMG,
+re-solving with progressively fewer levels (pop_level).
+
+n13 (flagship): Wilson K-cycle on an interacting U(1) config with
+BiCGstab(l)-generated null vectors and chiral doubling, outer FGCR to
+1e-10, restart 32, 4x4 blocking, coarse_nc 8, 2+2 MinRes(0.85) smooths.
+"""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qmg_tpu.lattice import Lattice2D
+from qmg_tpu.operators import Wilson2D
+from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+from qmg_tpu.stateful import DSLASH_KRYLOV, DSLASH_PRESMOOTH
+from qmg_tpu import u1
+from qmg_tpu.rng import QMGRandom
+from qmg_tpu.linalg import norm2sq
+
+
+def _solve_and_check(mg, lat0, rng, tol=1e-10, max_outer=120):
+    b = jnp.asarray(rng.gaussian_cv(lat0))
+    res = mg.solve(b, tol=tol, max_iter=1000, restart_freq=32)
+    assert bool(res.converged), f"K-cycle failed; iters={int(res.iters)}"
+    assert int(res.iters) < max_outer
+    ax = mg.get_stencil(0).apply_M(res.x)
+    resid = float(jnp.sqrt(norm2sq(b - ax) / norm2sq(b)))
+    assert resid < tol * 10
+    return int(res.iters)
+
+
+def test_free_wilson_kcycle_pop_levels():
+    """n09-style: free Wilson (unit gauge), exact per-spin constant null
+    vectors, solve at 3 then 2 levels via pop_level."""
+    lat0 = Lattice2D(16, 16, 2)
+    g = u1.unit_gauge_u1(lat0)
+    op = Wilson2D(lat0, 0.1, g)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=2, free_null_vectors=True,
+                       x_block=4, y_block=4)
+    rng = QMGRandom(1337)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+    assert mg.get_num_levels() == 3
+    _solve_and_check(mg, lat0, rng)
+    mg.pop_level()
+    assert mg.get_num_levels() == 2
+    _solve_and_check(mg, lat0, rng)
+
+
+@pytest.mark.slow
+def test_wilson_kcycle_interacting(cfg_dir):
+    """n13 flagship at 32^2, beta=6.0, m=-0.06, 2 refinement levels."""
+    lat0 = Lattice2D(32, 32, 2)
+    g = u1.read_gauge_u1(lat0,
+                         os.path.join(cfg_dir, "l32t32b60_heatbath.dat"))
+    op = Wilson2D(lat0, -0.06, g)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=8)
+    rng = QMGRandom(1337)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+    iters = _solve_and_check(mg, lat0, rng, tol=1e-10, max_outer=60)
+    # The MG solve must do real work on the coarse levels.
+    assert mg.get_tracker_count(DSLASH_KRYLOV, 1) > 0
+    assert mg.get_tracker_count(DSLASH_PRESMOOTH, 0) > 0
+    assert mg.get_iterations_count(1) > 0
+    avg = mg.query_average_iterations()
+    assert avg[0] == iters
+    print(f"[QMG-TEST] n13 32^2 m=-0.06: outer iters={iters}, "
+          f"avg coarse/fine={avg[1]:.1f}")
+
+
+def test_wilson_kcycle_beats_unpreconditioned(cfg_dir):
+    """MG iteration count must be far below plain GCR's."""
+    from qmg_tpu import solvers
+    lat0 = Lattice2D(32, 32, 2)
+    g = u1.read_gauge_u1(lat0,
+                         os.path.join(cfg_dir, "l32t32b60_heatbath.dat"))
+    op = Wilson2D(lat0, -0.06, g)
+    rng = QMGRandom(1337)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=8)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+    b = jnp.asarray(rng.gaussian_cv(lat0))
+    res_mg = mg.solve(b, tol=1e-8, max_iter=500, restart_freq=32)
+    res_gcr = solvers.gcr_restart(op.get_apply_function(), b, max_iter=500,
+                                  tol=1e-8, restart_freq=32)
+    assert bool(res_mg.converged)
+    assert int(res_mg.iters) * 3 < int(res_gcr.iters) or \
+        not bool(res_gcr.converged)
