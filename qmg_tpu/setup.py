@@ -32,13 +32,15 @@ from .linalg import normalize, orthogonal
 def generate_null_vectors(stencil: Stencil2D, n_vec: int, rng,
                           max_iter: int = 500, tol: float = 5e-5,
                           l: int = 6,
-                          stype: StencilType = StencilType.ORIGINAL):
+                          stype: StencilType = StencilType.ORIGINAL,
+                          solver: str = "bicgstab_l"):
     """Algebraic near-null vectors via the residual equation.
 
     For each vector: gaussian guess g, orthogonalize against previous,
-    solve M e = -M g with BiCGstab(l), return v = g + e (so M v ~ 0),
-    re-orthogonalize (reference n13:338-371). Returns (vectors (n_vec,
-    cv_shape), total_ops) - ops feed the NULLVEC tracker.
+    solve M e = -M g with BiCGstab(l) (or restarted GCR, the n19 variant,
+    reference n19:237), return v = g + e (so M v ~ 0), re-orthogonalize
+    (reference n13:338-371). Returns (vectors (n_vec, cv_shape),
+    total_ops) - ops feed the NULLVEC tracker.
     """
     lat = stencil.lat
     matvec = stencil.get_apply_function(stype)
@@ -50,8 +52,14 @@ def generate_null_vectors(stencil: Stencil2D, n_vec: int, rng,
             g = orthogonal(g, v)
         rhs = -matvec(g)
         total_ops += 1
-        res = solvers.bicgstab_l(matvec, rhs, max_iter=max_iter, tol=tol,
-                                 l=l)
+        if solver == "bicgstab_l":
+            res = solvers.bicgstab_l(matvec, rhs, max_iter=max_iter,
+                                     tol=tol, l=l)
+        elif solver == "gcr_restart":
+            res = solvers.gcr_restart(matvec, rhs, max_iter=max_iter,
+                                      tol=tol, restart_freq=64)
+        else:
+            raise ValueError(f"unknown null-vector solver {solver}")
         total_ops += int(res.ops_count)
         v = g + res.x
         for w in vecs:
@@ -98,8 +106,14 @@ class KCycleConfig:
     # null vector generation
     nullvec_max_iter: int = 500
     nullvec_tol: float = 5e-5
+    nullvec_solver: str = "bicgstab_l"
+    nullvec_stype: StencilType = StencilType.ORIGINAL
     fine_stencil_app: StencilType = StencilType.ORIGINAL
     coarsest_stencil_app: StencilType = StencilType.ORIGINAL
+    # What to coarsen / pre-build on each coarse level (the n19 Schur path
+    # coarsens the rbjacobi stencil and pre-builds its rbjacobi form).
+    precond_coarsen_rbjacobi: bool = False
+    build_extra: int = 0
     free_null_vectors: bool = False  # geometric per-spin constants (do_free)
 
 
@@ -134,7 +148,8 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
         else:
             vecs, ops = generate_null_vectors(
                 stencil, cfg.coarse_dof // 2, rng,
-                max_iter=cfg.nullvec_max_iter, tol=cfg.nullvec_tol)
+                max_iter=cfg.nullvec_max_iter, tol=cfg.nullvec_tol,
+                stype=cfg.nullvec_stype, solver=cfg.nullvec_solver)
             mg.add_tracker_count(DSLASH_NULLVEC, ops, i - 1)
             raw = chiral_double(stencil, vecs)
 
@@ -147,7 +162,13 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
             intermediate_restart_freq=cfg.inner_restart_freq,
             pre_tol=cfg.pre_smooth_tol, pre_iters=cfg.n_pre_smooth,
             post_tol=cfg.post_smooth_tol, post_iters=cfg.n_post_smooth)
-        mg.push_level(lat_i, transfer, level_solve, build_stencil=True,
-                      is_chiral=is_chiral, nvecs=raw)
+        from .multigrid import PRECOND_RIGHT_BLOCK_JACOBI, PRECOND_ORIGINAL
+        mg.push_level(
+            lat_i, transfer, level_solve, build_stencil=True,
+            is_chiral=is_chiral,
+            build_stencil_from=(PRECOND_RIGHT_BLOCK_JACOBI
+                                if cfg.precond_coarsen_rbjacobi
+                                else PRECOND_ORIGINAL),
+            build_extra=cfg.build_extra, nvecs=raw)
         lat_prev = lat_i
     return mg

@@ -1,0 +1,77 @@
+"""Schur-everywhere K-cycle with rbjacobi coarsening (reference test n19,
+tests/n19_wilson_kcycle_precond/wilson_kcycle_precond.cpp).
+
+Every level solves QMG_MATVEC_RIGHT_SCHUR; null vectors are generated
+against the rbjacobi operator with restarted GCR (:237); coarse levels
+Galerkin-coarsen the RBJACOBI stencil and pre-build their own rbjacobi
+form (:171, :290); the outer solve runs on the Schur-prepared system and
+reconstructs (:360-383).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from qmg_tpu.lattice import Lattice2D
+from qmg_tpu.operators import Wilson2D
+from qmg_tpu.operators.coarse import CoarseOperator2D
+from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+from qmg_tpu.stencil import StencilType
+from qmg_tpu import u1
+from qmg_tpu.rng import QMGRandom
+from qmg_tpu.linalg import norm2sq
+
+L = 16
+
+
+def test_schur_kcycle_end_to_end():
+    lat0 = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
+    op = Wilson2D(lat0, -0.05, g)
+    op.build_rbjacobi_stencil()  # reference n19:155
+
+    cfg = KCycleConfig(
+        n_refine=1, coarse_dof=8,
+        fine_stencil_app=StencilType.RIGHT_SCHUR,
+        coarsest_stencil_app=StencilType.RIGHT_SCHUR,
+        nullvec_stype=StencilType.RIGHT_JACOBI,
+        nullvec_solver="gcr_restart",
+        precond_coarsen_rbjacobi=True,
+        build_extra=CoarseOperator2D.BUILD_RBJACOBI)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+
+    b = jnp.asarray(rng.gaussian_cv(lat0))
+    # Outer solve on the Schur-prepared system (reference :360-369).
+    b_prep = op.prepare_M(b, StencilType.RIGHT_SCHUR)
+    res = mg.solve(b_prep, tol=1e-10, max_iter=400, restart_freq=32,
+                   outer_type=StencilType.RIGHT_SCHUR)
+    assert bool(res.converged), f"iters={int(res.iters)}"
+    x = op.reconstruct_M(res.x, b, StencilType.RIGHT_SCHUR)
+    resid = float(jnp.sqrt(norm2sq(b - op.apply_M(x)) / norm2sq(b)))
+    assert resid < 1e-9, f"check tolerance {resid}"
+    assert int(res.iters) < 60
+
+
+def test_schur_coarse_op_consistency():
+    """The coarsened-rbjacobi operator must equal R (A B^{-1}) P."""
+    lat0 = Lattice2D(L, L, 2)
+    lat1 = Lattice2D(4, 4, 4)
+    rng = QMGRandom(7)
+    g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
+    op = Wilson2D(lat0, -0.05, g)
+    from qmg_tpu.transfer import TransferMG, DoublingType
+    nv = jnp.stack([jnp.asarray(rng.gaussian_cv(lat0)) for _ in range(4)])
+    t = TransferMG(lat0, lat1, nv, do_block_ortho=True,
+                   doubling=DoublingType.PROJECTION)
+    coarse = CoarseOperator2D(lat1, op, t, is_chiral=True,
+                              use_rbjacobi=True,
+                              build_extra=CoarseOperator2D.BUILD_RBJACOBI)
+    xc = jnp.asarray(rng.gaussian_cv(lat1))
+    built = coarse.apply_M(xc)
+    emulated = t.restrict_f2c(
+        op.apply_M(t.prolong_c2f(xc), StencilType.RIGHT_JACOBI))
+    err = float(jnp.sqrt(norm2sq(built - emulated) / norm2sq(emulated)))
+    assert err < 1e-11
+    # rbjacobi coarsening transfers zero shift (rbj op has none).
+    assert complex(coarse.coeffs.shift) == 0.0
