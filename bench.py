@@ -11,7 +11,10 @@ effective bandwidth = minimum-traffic bytes / wall time:
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is the fraction of the v5e HBM roofline (~819 GB/s).
 
-Run with no args on the real chip; --size / --iters / --dtype to vary.
+TPU note: the axon backend cannot materialize complex buffers at jit
+boundaries, so fields cross as float32 plane pairs (qmg_tpu.tpu_compat)
+and the timed loop returns an f32 scalar checksum - which also forces
+real synchronization for timing. Host-side setup is pure NumPy.
 """
 
 import argparse
@@ -19,13 +22,41 @@ import json
 import sys
 import time
 
+import numpy as np
+
+
+def wilson_coeffs_numpy(lat, gauge_eo, w=1.0):
+    """Host-side Wilson coefficient build (NumPy mirror of
+    operators/wilson.py) returning float32 plane pairs."""
+    from qmg_tpu.lattice import eo_pack, eo_unpack
+    g = np.stack([eo_unpack(np.asarray(gauge_eo[mu]), lat.with_nc(1))
+                  for mu in range(2)])  # (mu, Y, X)
+    ux, uy = g[0], g[1]
+    ux_m = np.conj(np.roll(ux, 1, axis=1))  # U_x(s-x)^* on grid (Y, X)
+    uy_m = np.conj(np.roll(uy, 1, axis=0))
+    i = 1j
+    spin = [0.5 * np.array(m) for m in (
+        [[-w, 1], [1, -w]], [[-w, -i], [i, -w]],
+        [[-w, -1], [-1, -w]], [[-w, i], [-i, -w]])]
+    hopping_grid = np.stack([u[..., None, None] * s for u, s in
+                             zip((ux, uy, ux_m, uy_m), spin)])
+    hopping = np.stack([eo_pack(hopping_grid[d], lat.with_nc(1))
+                        for d in range(4)])
+    clover = np.zeros((2, lat.y_len, lat.xh, 2, 2), dtype=np.complex128)
+    clover[..., 0, 0] = 2.0 * w
+    clover[..., 1, 1] = 2.0 * w
+    return clover, hopping
+
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--size", type=int, default=2048)
-    p.add_argument("--iters", type=int, default=200)
-    p.add_argument("--warmup", type=int, default=3)
-    p.add_argument("--dtype", default="complex64")
+    p.add_argument("--size", type=int, default=1024)
+    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas",
+                   help="fused Pallas Dslash (default) or the jnp/XLA path")
+    p.add_argument("--tile", type=int, default=16,
+                   help="Pallas Y-tile rows")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
     args = p.parse_args()
@@ -33,51 +64,92 @@ def main():
     import jax
     import jax.numpy as jnp
     from qmg_tpu.lattice import Lattice2D
-    from qmg_tpu.operators import Wilson2D
-    from qmg_tpu.stencil import apply_M
+    from qmg_tpu.stencil import apply_M, make_coeffs
+    from qmg_tpu.tpu_compat import from_planes, host_to_planes
     from qmg_tpu import u1
     from qmg_tpu.rng import QMGRandom
 
-    dtype = jnp.dtype(args.dtype)
     L = args.size
     lat = Lattice2D(L, L, 2)
     rng = QMGRandom(1337)
-    gauge = jnp.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0), dtype=dtype)
-    op = Wilson2D(lat, mass=-0.075, gauge=gauge, dtype=dtype)
-    coeffs = op.coeffs
-    x = jnp.asarray(rng.gaussian_cv(lat), dtype=dtype)
-    x = x / jnp.sqrt(jnp.sum(jnp.abs(x) ** 2))
+
+    gauge_np = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    clover, hopping = wilson_coeffs_numpy(lat, gauge_np)
+    clover_p = host_to_planes(clover)
+    hopping_p = host_to_planes(hopping)
+    x_p = host_to_planes(rng.gaussian_cv(lat))
+    x_p /= np.sqrt(np.sum(x_p * x_p))
+    mass = -0.075
 
     n_iters = args.iters
 
-    @jax.jit
-    def chain(coeffs, x):
-        def body(_, x):
-            y = apply_M(coeffs, x)
-            # renormalize so the chain neither explodes nor denormalizes
-            return y / jnp.sqrt(jnp.sum(jnp.abs(y) ** 2))
-        return jax.lax.fori_loop(0, n_iters, body, x)
+    if args.kernel == "pallas":
+        from qmg_tpu.pallas_dslash import (make_pallas_dslash,
+                                           _channels_from_coeffs)
+        coeffs0 = make_coeffs(
+            lat,
+            clover=jnp.zeros(lat.cm_shape(), jnp.complex64),
+            hopping=jnp.zeros(lat.hopping_shape(), jnp.complex64),
+            shift=0.0, dtype=jnp.complex64)
+        apply_fn, _ = make_pallas_dslash(coeffs0, tile=args.tile)
+        # Channel planes on host: fold the mass into the clover diagonal.
+        clover_m = clover.copy()
+        clover_m[..., 0, 0] += mass
+        clover_m[..., 1, 1] += mass
+        cpl = np.moveaxis(clover_m, (3, 4), (1, 2))
+        cpl = np.stack([cpl.real, cpl.imag], axis=3).astype(np.float32)
+        hpl = np.moveaxis(hopping, (4, 5), (2, 3))
+        hpl = np.stack([hpl.real, hpl.imag], axis=4).astype(np.float32)
+        # x planes (2, nc, 2, Y, Xh).
+        xpl = np.moveaxis(x_p, 3, 1)            # (2, nc, Y, Xh, 2)
+        xpl = np.moveaxis(xpl, 4, 2).astype(np.float32)
 
+        @jax.jit
+        def chain(cpl, hpl, xpl):
+            def body(_, v):
+                y = apply_fn(cpl, hpl, v)
+                return y / jnp.sqrt(jnp.sum(y * y))
+            out = jax.lax.fori_loop(0, n_iters, body, xpl)
+            return jnp.sum(jnp.abs(out))
+
+        dev_args = [jax.device_put(a) for a in (cpl, hpl, xpl)]
+    else:
+        @jax.jit
+        def chain(clover_p, hopping_p, x_p):
+            coeffs = make_coeffs(lat, clover=from_planes(clover_p),
+                                 hopping=from_planes(hopping_p),
+                                 shift=mass, dtype=jnp.complex64)
+            x = from_planes(x_p)
+
+            def body(_, x):
+                y = apply_M(coeffs, x)
+                return y / jnp.sqrt(jnp.sum(jnp.abs(y) ** 2))
+
+            out = jax.lax.fori_loop(0, n_iters, body, x)
+            return jnp.sum(jnp.abs(out))  # f32 scalar output
+
+        dev_args = [jax.device_put(a)
+                    for a in (clover_p, hopping_p, x_p)]
     for _ in range(args.warmup):
-        chain(coeffs, x).block_until_ready()
+        float(chain(*dev_args))
     t0 = time.perf_counter()
-    chain(coeffs, x).block_until_ready()
+    checksum = float(chain(*dev_args))
     dt = time.perf_counter() - t0
 
     nc = lat.nc
-    itemsize = jnp.zeros((), dtype=dtype).itemsize
+    itemsize = 8  # complex64
     bytes_per_apply = (nc * nc + 4 * nc * nc + 2 * nc) * lat.volume * itemsize
-    # The renormalization adds one read+write of x (2 nc V); count it so
-    # the number is honest about what the loop actually moves.
+    # The renormalization adds one read+write of x; count it honestly.
     bytes_per_iter = bytes_per_apply + 2 * nc * lat.volume * itemsize
     gbs = bytes_per_iter * n_iters / dt / 1e9
     frac = gbs / args.hbm_roofline_gbs
 
     sites_per_sec = lat.volume * n_iters / dt
-    print(f"# wilson dslash {L}x{L} {args.dtype}: {dt*1e3/n_iters:.3f} ms/"
-          f"apply, {sites_per_sec/1e9:.2f} Gsites/s, {gbs:.1f} GB/s "
-          f"({100*frac:.1f}% of {args.hbm_roofline_gbs} GB/s roofline) on "
-          f"{jax.devices()[0].device_kind}", file=sys.stderr)
+    print(f"# wilson dslash {L}x{L} {args.kernel}: {dt*1e3/n_iters:.3f} ms/"
+          f"apply, {sites_per_sec/1e9:.3f} Gsites/s, {gbs:.1f} GB/s "
+          f"({100*frac:.1f}% of {args.hbm_roofline_gbs} GB/s roofline), "
+          f"checksum={checksum:.4e} on {jax.devices()[0].device_kind}",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "wilson_dslash_effective_bandwidth",
         "value": round(gbs, 2),

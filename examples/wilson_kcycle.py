@@ -1,0 +1,111 @@
+"""Flagship scenario: MG K-cycle solve of the interacting Wilson operator.
+
+Mirrors the reference CLI (tests/n13_wilson_kcycle/wilson_kcycle.cpp:33-41):
+
+    python examples/wilson_kcycle.py L mass beta n_refine
+
+e.g. ``python examples/wilson_kcycle.py 64 -0.075 6.0 2``. Loads the
+shipped heatbath config when (L, beta) matches a fixture; otherwise runs
+the non-compact heatbath. Prints [QMG-*]-tagged output like the reference,
+including the per-level [QMG-OPS-STATS] report.
+"""
+
+import argparse
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+
+def find_config(L, beta):
+    for root in ("/root/reference/tests/common_cfgs_u1",
+                 os.path.join(os.path.dirname(__file__), "..", "configs")):
+        b = {6.0: "b60", 10.0: "b100"}.get(beta)
+        if b is None:
+            return None
+        path = os.path.join(root, f"l{L}t{L}{b}_heatbath.dat")
+        if os.path.exists(path):
+            return path
+    return None
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("L", type=int)
+    p.add_argument("mass", type=float, help="try -0.075 for beta 6.0")
+    p.add_argument("beta", type=float)
+    p.add_argument("n_refine", type=int)
+    p.add_argument("--tol", type=float, default=1e-10)
+    p.add_argument("--cpu", action="store_true",
+                   help="force CPU + float64 (numerics parity mode)")
+    args = p.parse_args()
+
+    import jax
+    if args.cpu or jax.devices()[0].platform != "tpu":
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
+    import numpy as np
+    import jax.numpy as jnp
+    from qmg_tpu.lattice import Lattice2D
+    from qmg_tpu.operators import Wilson2D
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu import u1, solvers
+    from qmg_tpu.rng import QMGRandom
+    from qmg_tpu.linalg import norm2sq
+
+    lat = Lattice2D(args.L, args.L, 2)
+    rng = QMGRandom(1337)
+
+    cfg_path = find_config(args.L, args.beta)
+    if cfg_path:
+        gauge = u1.read_gauge_u1(lat, cfg_path)
+        print(f"[QMG-GAUGE]: loaded {cfg_path}")
+    else:
+        print(f"[QMG-NOTE]: L = {args.L} beta = {args.beta} requires "
+              "heatbath generation.")
+        lat_g = lat.with_nc(1)
+        ph = np.zeros((2, 2, lat_g.y_len, lat_g.xh))
+        for i in range(0, 4000, 400):
+            ph = u1.heatbath_noncompact_update(ph, lat_g, args.beta, 400,
+                                               rng)
+            g = u1.phases_to_links(ph)
+            print(f"[QMG-HEATBATH]: Update {i} Plaq "
+                  f"{float(jnp.real(u1.get_plaquette_u1(g, lat_g))):.6f} "
+                  f"Topo {float(u1.get_topo_u1(g, lat_g)):.3f}")
+        gauge = u1.phases_to_links(ph)
+    plaq = complex(u1.get_plaquette_u1(gauge, lat))
+    print(f"[QMG-GAUGE]: plaquette {plaq.real:.6f} topo "
+          f"{float(u1.get_topo_u1(gauge, lat)):.3f}")
+
+    op = Wilson2D(lat, args.mass, gauge)
+    cfg = KCycleConfig(n_refine=args.n_refine, coarse_dof=8, tol=args.tol)
+    t0 = time.time()
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    print(f"[QMG-SETUP]: {mg.get_num_levels()} levels built in "
+          f"{time.time()-t0:.1f}s")
+
+    b = jnp.asarray(rng.gaussian_cv(lat))
+    t0 = time.time()
+    res = mg.solve(b, tol=args.tol, max_iter=cfg.max_iter,
+                   restart_freq=cfg.restart_freq)
+    dt = time.time() - t0
+    resid = float(jnp.sqrt(norm2sq(b - op.apply_M(res.x)) / norm2sq(b)))
+    print(f"Multigrid {'converged' if bool(res.converged) else 'failed'} "
+          f"in {int(res.iters)} iterations with alleged tolerance "
+          f"{float(jnp.sqrt(res.res_sq / norm2sq(b))):.3e}.")
+    print(f"Check tolerance {resid:.3e}")
+    print(f"[QMG-TIMING]: solve wall time {dt:.2f}s")
+
+    # Ops/iteration report (reference n22:506-522 format).
+    names = ["NULLVEC", "KRYLOV", "PRESMOOTH", "POSTSMOOTH"]
+    for lvl in range(mg.get_num_levels()):
+        counts = [mg.get_tracker_count(t, lvl) for t in range(4)]
+        print(f"[QMG-OPS-STATS]: Level {lvl} "
+              + " ".join(f"{n} {c}" for n, c in zip(names, counts)))
+    print("[QMG-ITER-STATS]: avg iterations per level "
+          + " ".join(f"{v:.2f}" for v in mg.query_average_iterations()))
+
+
+if __name__ == "__main__":
+    main()
