@@ -25,6 +25,8 @@ Double precision requires ``jax.config.update("jax_enable_x64", True)``
 before first use (numerics parity with the reference is at fp64).
 """
 
-from . import lattice, cshift, linalg, stencil, solvers, u1, rng
+from . import (lattice, cshift, linalg, stencil, solvers, u1, rng,
+               transfer, multigrid, stateful, eig, reductions, measure,
+               storage, parallel, tpu_compat)
 
 __version__ = "0.1.0"

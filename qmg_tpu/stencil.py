@@ -508,6 +508,42 @@ class Stencil2D:
             return (lat.y_len, lat.xh, lat.nc)
         return lat.cv_shape()
 
+    def print_stencil_site(self, x: int, y: int, prefix: str = "",
+                           which: str = "original"):
+        """Print the full stencil at one site (reference print_stencil_site,
+        stencil_2d.h:447-635; dagger/rbjacobi variants :1182-1193,
+        :1642-1667)."""
+        import numpy as np
+        if which == "original":
+            coeffs, cinv = self.coeffs, None
+        elif which == "dagger":
+            coeffs, cinv = self.dagger_coeffs, None
+        elif which == "rbjacobi":
+            coeffs, cinv = self.rbjacobi.coeffs, self.rbjacobi.cinv
+        elif which == "rbj_dagger":
+            coeffs, cinv = self.rbj_dagger.coeffs, self.rbj_dagger.cinv
+        else:
+            raise ValueError(f"unknown stencil variant {which}")
+        p, yy, xh = self.lat.coord_to_pyx(x, y)
+        for name, val in (("Shift", coeffs.shift),
+                          ("EO-Shift", coeffs.eo_shift),
+                          ("DOF-Shift", coeffs.dof_shift)):
+            if complex(val) != 0:
+                print(f"{prefix}{name} {complex(val)}")
+        if coeffs.clover is not None:
+            print(f"{prefix}Clover")
+            for row in np.asarray(coeffs.clover[p, yy, xh]):
+                print(prefix + " ".join(str(v) for v in row))
+        if coeffs.hopping is not None:
+            for d, label in enumerate(("+x", "+y", "-x", "-y")):
+                print(f"{prefix}Hopping {label}")
+                for row in np.asarray(coeffs.hopping[d, p, yy, xh]):
+                    print(prefix + " ".join(str(v) for v in row))
+        if cinv is not None:
+            print(f"{prefix}Right Block Jacobi Inv Clover")
+            for row in np.asarray(cinv[p, yy, xh]):
+                print(prefix + " ".join(str(v) for v in row))
+
     # --- chirality interface (reference :977-1073); operators override ---
     @staticmethod
     def get_dof(i: int = 0) -> int:
