@@ -53,6 +53,7 @@ def main():
     p.add_argument("--size", type=int, default=1024)
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--warmup", type=int, default=2)
+    p.add_argument("--mode", choices=["dslash", "kcycle"], default="dslash")
     p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas",
                    help="fused Pallas Dslash (default) or the jnp/XLA path")
     p.add_argument("--tile", type=int, default=16,
@@ -62,12 +63,22 @@ def main():
     args = p.parse_args()
 
     import jax
+    # Register a CPU backend next to the TPU for host-side complex setup.
+    try:
+        import os as _os
+        if _os.environ.get("JAX_PLATFORMS") == "axon":
+            jax.config.update("jax_platforms", "axon,cpu")
+    except Exception:
+        pass
     import jax.numpy as jnp
     from qmg_tpu.lattice import Lattice2D
     from qmg_tpu.stencil import apply_M, make_coeffs
     from qmg_tpu.tpu_compat import from_planes, host_to_planes
     from qmg_tpu import u1
     from qmg_tpu.rng import QMGRandom
+
+    if args.mode == "kcycle":
+        return bench_kcycle(args)
 
     L = args.size
     lat = Lattice2D(L, L, 2)
@@ -84,14 +95,9 @@ def main():
     n_iters = args.iters
 
     if args.kernel == "pallas":
-        from qmg_tpu.pallas_dslash import (make_pallas_dslash,
-                                           _channels_from_coeffs)
-        coeffs0 = make_coeffs(
-            lat,
-            clover=jnp.zeros(lat.cm_shape(), jnp.complex64),
-            hopping=jnp.zeros(lat.hopping_shape(), jnp.complex64),
-            shift=0.0, dtype=jnp.complex64)
-        apply_fn, _ = make_pallas_dslash(coeffs0, tile=args.tile)
+        from qmg_tpu.pallas_dslash import make_pallas_dslash_shaped
+        apply_fn = make_pallas_dslash_shaped(lat.nc, lat.y_len, lat.xh,
+                                             tile=args.tile)
         # Channel planes on host: fold the mass into the clover diagonal.
         clover_m = clover.copy()
         clover_m[..., 0, 0] += mass
@@ -155,6 +161,66 @@ def main():
         "value": round(gbs, 2),
         "unit": "GB/s",
         "vs_baseline": round(frac, 4),
+    }))
+
+
+def bench_kcycle(args):
+    """Full MG K-cycle solve on the TPU via the real-plane whole-solver
+    wrapper (tpu_compat.make_planes_solver). Setup runs on the CPU
+    backend (complex64); the solve jits onto the TPU. Reports solve wall
+    time; vs_baseline carries ms per outer iteration."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from qmg_tpu.lattice import Lattice2D
+    from qmg_tpu.operators import Wilson2D
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.tpu_compat import make_planes_solver, host_to_planes
+    from qmg_tpu import u1
+    from qmg_tpu.rng import QMGRandom
+
+    L = args.size if args.size <= 256 else 128
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    tol = 1e-5  # f32 K-cycle target
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        path = ("/root/reference/tests/common_cfgs_u1/"
+                f"l{L}t{L}b60_heatbath.dat")
+        if os.path.exists(path):
+            gauge = jnp.asarray(u1.read_gauge_u1(lat, path),
+                                dtype=jnp.complex64)
+        else:
+            gauge = jnp.asarray(u1.gauss_gauge_u1(lat, rng, 6.0),
+                                dtype=jnp.complex64)
+        op = Wilson2D(lat, -0.06, gauge, dtype=jnp.complex64)
+        cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
+                           nullvec_max_iter=200)
+        mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+        solve_planes, state = make_planes_solver(
+            mg, tol=tol, max_iter=200, restart_freq=32)
+        b_p = host_to_planes(rng.gaussian_cv(lat))
+
+    solve_jit = jax.jit(solve_planes)
+    state_dev = jax.device_put(state)
+    b_dev = jax.device_put(b_p)
+    xp, iters, res_sq = solve_jit(state_dev, b_dev)
+    int(iters)  # sync warmup
+    t0 = time.perf_counter()
+    xp, iters, res_sq = solve_jit(state_dev, b_dev)
+    n_it = int(iters)
+    dt = time.perf_counter() - t0
+
+    print(f"# wilson kcycle {L}x{L} c64: {n_it} outer iters to {tol} in "
+          f"{dt*1e3:.1f} ms ({dt*1e3/max(n_it,1):.1f} ms/iter), "
+          f"res_sq={float(res_sq):.3e} on {jax.devices()[0].device_kind}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "wilson_kcycle_solve_time",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": round(dt * 1e3 / max(n_it, 1), 3),
     }))
 
 

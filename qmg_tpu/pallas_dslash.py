@@ -166,18 +166,12 @@ def _dslash_kernel(nc: int, tile: int, y_len: int,
             out_ref[q, i, 1] = acc_im
 
 
-def make_pallas_dslash(coeffs: StencilCoeffs, tile: int = 8,
-                       interpret: bool = False):
-    """Build a jittable x -> M x using the fused kernel.
-
-    Returns (apply_fn, (clover_planes, hopping_planes)): apply_fn takes
-    the channel planes plus an x plane array (2, nc, 2, Y, Xh) and
-    returns the output planes. Shifts are folded into the clover, so this
-    equals stencil.apply_M exactly.
-    """
-    lat = coeffs.lat
-    nc = lat.nc
-    y_len, xh = lat.y_len, lat.xh
+def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
+                              interpret: bool = False):
+    """Shape-only kernel factory: no eager array work (the axon TPU
+    rejects eager complex ops, so callers that prepare channel planes on
+    host use this directly). Returns apply_fn(clover_planes,
+    hopping_planes, x_planes) -> out_planes."""
     if y_len % tile:
         tile = int(np.gcd(tile, y_len))
     if y_len % 8 or tile % 8:
@@ -187,9 +181,13 @@ def make_pallas_dslash(coeffs: StencilCoeffs, tile: int = 8,
             f"pallas dslash needs Y and tile multiples of 8; got "
             f"Y={y_len}, tile={tile} - use the jnp apply for small/coarse "
             f"lattices")
+    if not interpret and xh % 128:
+        # Mosaic: DMA slice shapes must align to the (8, 128) f32 tile in
+        # the lane dimension too.
+        raise ValueError(
+            f"pallas dslash needs Xh (= X/2) a multiple of 128 lanes; got "
+            f"Xh={xh} - use the jnp apply below X=256")
     grid = (y_len // tile,)
-
-    clover_p, hopping_p = _channels_from_coeffs(coeffs)
 
     kernel = functools.partial(_dslash_kernel, nc, tile, y_len)
 
@@ -215,4 +213,21 @@ def make_pallas_dslash(coeffs: StencilCoeffs, tile: int = 8,
             interpret=interpret,
         )(x_pl, clover_pl, hopping_pl)
 
+    return apply_fn
+
+
+def make_pallas_dslash(coeffs: StencilCoeffs, tile: int = 8,
+                       interpret: bool = False):
+    """Build a jittable x -> M x using the fused kernel.
+
+    Returns (apply_fn, (clover_planes, hopping_planes)): apply_fn takes
+    the channel planes plus an x plane array (2, nc, 2, Y, Xh) and
+    returns the output planes. Shifts are folded into the clover, so this
+    equals stencil.apply_M exactly. Converts coefficients eagerly - on
+    the axon TPU use make_pallas_dslash_shaped with host-built planes.
+    """
+    lat = coeffs.lat
+    apply_fn = make_pallas_dslash_shaped(lat.nc, lat.y_len, lat.xh,
+                                         tile=tile, interpret=interpret)
+    clover_p, hopping_p = _channels_from_coeffs(coeffs)
     return apply_fn, (clover_p, hopping_p)

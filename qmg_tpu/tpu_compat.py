@@ -80,3 +80,83 @@ def encode_args(*args):
     spec = jax.tree_util.tree_map(lambda x: bool(_is_complex(x)), list(args))
     planes = _encode(list(args))
     return planes, spec
+
+
+# ---------------------------------------------------------------------------
+# Whole-solver wrapper: run the full MG-preconditioned solve on a TPU that
+# only accepts real jit boundaries. All complex state (stencil coefficient
+# pytrees at every level, blocked null vectors, deflation vectors) is
+# plane-encoded once on host; one jitted function decodes and solves.
+# ---------------------------------------------------------------------------
+
+def mg_state_planes(mg):
+    """Extract every complex array of a StatefulMultigridMG hierarchy as a
+    flat dict of float32 plane arrays (host numpy)."""
+    state = {}
+    for lvl in range(mg.get_num_levels()):
+        st = mg.get_stencil(lvl)
+        c = st.coeffs
+        if c.clover is not None:
+            state[f"clover{lvl}"] = host_to_planes(np.asarray(c.clover))
+        if c.hopping is not None:
+            state[f"hopping{lvl}"] = host_to_planes(np.asarray(c.hopping))
+    for lvl in range(mg.get_num_levels() - 1):
+        t = mg.get_transfer(lvl)
+        state[f"nvb{lvl}"] = host_to_planes(np.asarray(t._nvb))
+    return state
+
+
+def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32):
+    """Returns (solve_planes, state) where solve_planes(state, b_planes)
+    -> (x_planes, iters, res_sq) is fully real at the jit boundary.
+
+    The hierarchy's complex state is swapped in from the plane encoding at
+    trace time (one decode pass per solve - negligible vs the Krylov
+    work), so the same StatefulMultigridMG drives CPU fp64 and TPU c64.
+    """
+    from . import solvers
+    from .stencil import StencilType
+
+    state = mg_state_planes(mg)
+    n_levels = mg.get_num_levels()
+
+    def solve_planes(state, b_planes):
+        # Patch decoded complex arrays into the hierarchy for tracing.
+        saved = []
+        for lvl in range(n_levels):
+            st = mg.get_stencil(lvl)
+            saved.append((st, st.coeffs, st._dagger, st._rbjacobi,
+                          st._rbj_dagger))
+            kw = {}
+            if f"clover{lvl}" in state:
+                kw["clover"] = from_planes(state[f"clover{lvl}"])
+            if f"hopping{lvl}" in state:
+                kw["hopping"] = from_planes(state[f"hopping{lvl}"])
+            st.coeffs = st.coeffs.replace(
+                **kw, shift=st.coeffs.shift.astype(jnp.complex64))
+            st.invalidate_derived()
+        saved_nvb = []
+        for lvl in range(n_levels - 1):
+            t = mg.get_transfer(lvl)
+            saved_nvb.append((t, t._nvb))
+            t._nvb = from_planes(state[f"nvb{lvl}"])
+        try:
+            b = from_planes(b_planes)
+            precond = mg.make_preconditioner(0)
+            matvec = mg.get_stencil(0).get_apply_function(
+                StencilType.ORIGINAL)
+            carry = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
+                     "iters": jnp.zeros((n_levels,), jnp.int32)}
+            res, carry = solvers.gcr_var_precond_restart(
+                matvec, b, precond, max_iter=max_iter, tol=tol,
+                restart_freq=restart_freq, precond_carry=carry)
+            return (to_planes(res.x), res.iters,
+                    jnp.real(res.res_sq).astype(jnp.float32))
+        finally:
+            for (st, coeffs, dag, rbj, rbjd) in saved:
+                st.coeffs = coeffs
+                st._dagger, st._rbjacobi, st._rbj_dagger = dag, rbj, rbjd
+            for (t, nvb) in saved_nvb:
+                t._nvb = nvb
+
+    return solve_planes, state

@@ -1,0 +1,59 @@
+"""Hierarchy checkpoint/resume: a restored hierarchy must solve with the
+exact iteration trajectory of the original (same coefficients, same
+transfer)."""
+
+import os
+
+import numpy as np
+import jax.numpy as jnp
+
+from qmg_tpu.lattice import Lattice2D
+from qmg_tpu.operators import Wilson2D
+from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+from qmg_tpu.checkpoint import save_hierarchy, load_hierarchy
+from qmg_tpu import u1
+from qmg_tpu.rng import QMGRandom
+from qmg_tpu.linalg import norm2sq
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, -0.05, g)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=8, x_block=4, y_block=4,
+                       nullvec_max_iter=200)
+    # 16 -> 4 -> 1 point coarse.
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = jnp.asarray(rng.gaussian_cv(lat))
+    ref = mg.solve(b, tol=1e-8, max_iter=200, restart_freq=32, track=False)
+
+    path = os.path.join(tmp_path, "mg.npz")
+    save_hierarchy(mg, path)
+
+    op2 = Wilson2D(lat, -0.05, g)
+    mg2 = load_hierarchy(path, op2)
+    assert mg2.get_num_levels() == mg.get_num_levels()
+    res = mg2.solve(b, tol=1e-8, max_iter=200, restart_freq=32,
+                    track=False)
+    assert bool(res.converged)
+    assert int(res.iters) == int(ref.iters)
+    # Identical solutions: same coefficients, same trajectory.
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-12)
+
+
+def test_checkpoint_lattice_mismatch(tmp_path):
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1)
+    g = u1.unit_gauge_u1(lat)
+    op = Wilson2D(lat, 0.1, g)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    path = os.path.join(tmp_path, "mg.npz")
+    save_hierarchy(mg, path)
+    other = Wilson2D(Lattice2D(8, 8, 2), 0.1,
+                     u1.unit_gauge_u1(Lattice2D(8, 8, 2)))
+    import pytest
+    with pytest.raises(ValueError, match="does not match"):
+        load_hierarchy(path, other)
