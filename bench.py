@@ -25,27 +25,7 @@ import time
 import numpy as np
 
 
-def wilson_coeffs_numpy(lat, gauge_eo, w=1.0):
-    """Host-side Wilson coefficient build (NumPy mirror of
-    operators/wilson.py) returning float32 plane pairs."""
-    from qmg_tpu.lattice import eo_pack, eo_unpack
-    g = np.stack([eo_unpack(np.asarray(gauge_eo[mu]), lat.with_nc(1))
-                  for mu in range(2)])  # (mu, Y, X)
-    ux, uy = g[0], g[1]
-    ux_m = np.conj(np.roll(ux, 1, axis=1))  # U_x(s-x)^* on grid (Y, X)
-    uy_m = np.conj(np.roll(uy, 1, axis=0))
-    i = 1j
-    spin = [0.5 * np.array(m) for m in (
-        [[-w, 1], [1, -w]], [[-w, -i], [i, -w]],
-        [[-w, -1], [-1, -w]], [[-w, i], [-i, -w]])]
-    hopping_grid = np.stack([u[..., None, None] * s for u, s in
-                             zip((ux, uy, ux_m, uy_m), spin)])
-    hopping = np.stack([eo_pack(hopping_grid[d], lat.with_nc(1))
-                        for d in range(4)])
-    clover = np.zeros((2, lat.y_len, lat.xh, 2, 2), dtype=np.complex128)
-    clover[..., 0, 0] = 2.0 * w
-    clover[..., 1, 1] = 2.0 * w
-    return clover, hopping
+from qmg_tpu.operators.wilson import wilson_coeffs_numpy
 
 
 def main():

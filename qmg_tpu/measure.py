@@ -65,6 +65,19 @@ def effective_mass(corr) -> np.ndarray:
         return np.log(c[:-1] / c[1:])
 
 
+def effective_mass_acosh(corr) -> np.ndarray:
+    """acosh effective mass: m(t) = acosh((c[t+1]+c[t-1])/(2 c[t])) -
+    the reference's reported form (n15 wilson_u1.cpp:223-229)."""
+    c = np.asarray(corr, dtype=np.float64)
+    out = np.full(len(c), np.nan)
+    with np.errstate(invalid="ignore"):
+        for t in range(1, len(c) - 1):
+            r = (c[t + 1] + c[t - 1]) / (2.0 * c[t])
+            if r >= 1.0:
+                out[t] = np.arccosh(r)
+    return out
+
+
 def effective_mass_cosh(corr) -> np.ndarray:
     """cosh effective mass: solve c[t+1]/c[t] = cosh(m(T/2-t-1))/
     cosh(m(T/2-t)) per t (periodic correlator), by bisection."""

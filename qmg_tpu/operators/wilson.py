@@ -51,6 +51,31 @@ def _wilson_coeff_arrays(lat: Lattice2D, gauge, w: float, dtype):
     return clover, hopping
 
 
+def wilson_coeffs_numpy(lat: Lattice2D, gauge_eo, w: float = 1.0):
+    """Host-side (pure NumPy) Wilson coefficient build - for TPU backends
+    that reject eager complex device ops. Returns (clover, hopping)
+    complex128 ndarrays in the standard layouts."""
+    import numpy as np
+    from ..lattice import eo_pack, eo_unpack
+    g = np.stack([eo_unpack(np.asarray(gauge_eo[mu]), lat.with_nc(1))
+                  for mu in range(2)])  # (mu, Y, X)
+    ux, uy = g[0], g[1]
+    ux_m = np.conj(np.roll(ux, 1, axis=1))
+    uy_m = np.conj(np.roll(uy, 1, axis=0))
+    i = 1j
+    spin = [0.5 * np.array(m) for m in (
+        [[-w, 1], [1, -w]], [[-w, -i], [i, -w]],
+        [[-w, -1], [-1, -w]], [[-w, i], [-i, -w]])]
+    hopping_grid = np.stack([u[..., None, None] * s for u, s in
+                             zip((ux, uy, ux_m, uy_m), spin)])
+    hopping = np.stack([eo_pack(hopping_grid[d], lat.with_nc(1))
+                        for d in range(4)])
+    clover = np.zeros((2, lat.y_len, lat.xh, 2, 2), dtype=np.complex128)
+    clover[..., 0, 0] = 2.0 * w
+    clover[..., 1, 1] = 2.0 * w
+    return clover, hopping
+
+
 class Wilson2D(Stencil2D):
     def __init__(self, lat: Lattice2D, mass, gauge, wilson_coeff: float = 1.0,
                  dtype=jnp.complex128):

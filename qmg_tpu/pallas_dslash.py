@@ -89,30 +89,51 @@ def _dslash_kernel(nc: int, tile: int, y_len: int,
               value slices at offsets 7/9, which lower to cheap shifts.
     """
     t = pl.program_id(0)
-    y0 = t * tile
-    # multiple_of: the wrap modulo defeats Mosaic's divisibility analysis
-    # for the x8 sublane-tile DMA alignment it must prove.
-    dn_start = pl.multiple_of((y0 - 8) % y_len, 8)
-    body_start = pl.multiple_of(y0, 8)
-    up_start = pl.multiple_of((y0 + tile) % y_len, 8)
+    n_tiles = pl.num_programs(0)
 
-    dn = pltpu.make_async_copy(
-        x_hbm.at[:, :, :, pl.ds(dn_start, 8), :],
-        xwin.at[:, :, :, pl.ds(0, 8), :], sems.at[0])
-    body = pltpu.make_async_copy(
-        x_hbm.at[:, :, :, pl.ds(body_start, tile), :],
-        xwin.at[:, :, :, pl.ds(8, tile), :], sems.at[1])
-    up = pltpu.make_async_copy(
-        x_hbm.at[:, :, :, pl.ds(up_start, 8), :],
-        xwin.at[:, :, :, pl.ds(8 + tile, 8), :], sems.at[2])
-    dn.start()
-    body.start()
-    up.start()
-    dn.wait()
-    body.wait()
-    up.wait()
+    def window_dmas(slot, tile_idx):
+        """The three x-window DMAs for a tile (dn halo, body, up halo).
+        multiple_of: the wrap modulo defeats Mosaic's divisibility
+        analysis for the x8 sublane-tile DMA alignment it must prove."""
+        y0 = tile_idx * tile
+        dn_start = pl.multiple_of((y0 - 8) % y_len, 8)
+        body_start = pl.multiple_of(y0 % y_len, 8)
+        up_start = pl.multiple_of((y0 + tile) % y_len, 8)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, pl.ds(dn_start, 8), :],
+                xwin.at[slot, :, :, :, pl.ds(0, 8), :], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, pl.ds(body_start, tile), :],
+                xwin.at[slot, :, :, :, pl.ds(8, tile), :],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, pl.ds(up_start, 8), :],
+                xwin.at[slot, :, :, :, pl.ds(8 + tile, 8), :],
+                sems.at[slot, 2]),
+        )
+
+    slot = t % 2
+    next_slot = (t + 1) % 2
+
+    # Warm-up: the first tile issues its own window synchronously.
+    @pl.when(t == 0)
+    def _():
+        for dma in window_dmas(0, 0):
+            dma.start()
+
+    # Prefetch the next tile's window while this tile computes.
+    @pl.when(t + 1 < n_tiles)
+    def _():
+        for dma in window_dmas(next_slot, t + 1):
+            dma.start()
+
+    for dma in window_dmas(slot, t):
+        dma.wait()
+    xwin = xwin.at[slot]
 
     xh_len = out_ref.shape[-1]
+    y0 = t * tile
     # Row-parity masks over the tile: rows with global y % 2 == q.
     rows = y0 + jax.lax.broadcasted_iota(jnp.int32, (tile, xh_len), 0)
     row_par = rows % 2
@@ -122,42 +143,40 @@ def _dslash_kernel(nc: int, tile: int, y_len: int,
 
     for q in (0, 1):
         p = 1 - q
-        # Gather the shifted neighbor planes for each direction, per
-        # source color j: shape (T, Xh) each.
+        direct = (row_par == q)
+        # Hoist the shifted neighbor planes out of the output-row loop:
+        # computed once per source color j, reused for every i.
+        pulled = []  # [(j, clover_xr, clover_xi, [(d, sr, si) x4])]
+        for j in range(nc):
+            xr = xwin[q, j, 0, 8:tile + 8, :]
+            xi = xwin[q, j, 1, 8:tile + 8, :]
+            same_re = xwin[p, j, 0, 8:tile + 8, :]
+            same_im = xwin[p, j, 1, 8:tile + 8, :]
+            up_re = xwin[p, j, 0, 9:tile + 9, :]    # y+1
+            up_im = xwin[p, j, 1, 9:tile + 9, :]
+            dn_re = xwin[p, j, 0, 7:tile + 7, :]    # y-1
+            dn_im = xwin[p, j, 1, 7:tile + 7, :]
+            # pltpu.roll requires non-negative shifts; xh_len-1 == -1.
+            rolm_re = pltpu.roll(same_re, xh_len - 1, 1)  # xh+1
+            rolm_im = pltpu.roll(same_im, xh_len - 1, 1)
+            rolp_re = pltpu.roll(same_re, 1, 1)           # xh-1
+            rolp_im = pltpu.roll(same_im, 1, 1)
+            xp_re = jnp.where(direct, same_re, rolm_re)   # pull +x
+            xp_im = jnp.where(direct, same_im, rolm_im)
+            xm_re = jnp.where(direct, rolp_re, same_re)   # pull -x
+            xm_im = jnp.where(direct, rolp_im, same_im)
+            dirs = ((DIR_XP1, xp_re, xp_im), (DIR_YP1, up_re, up_im),
+                    (DIR_XM1, xm_re, xm_im), (DIR_YM1, dn_re, dn_im))
+            pulled.append((xr, xi, dirs))
+
         for i in range(nc):
             acc_re = jnp.zeros((tile, xh_len), jnp.float32)
             acc_im = jnp.zeros((tile, xh_len), jnp.float32)
-            for j in range(nc):
-                # clover (same parity, same site); body rows sit at [8, 8+T)
-                xr = xwin[q, j, 0, 8:tile + 8, :]
-                xi = xwin[q, j, 1, 8:tile + 8, :]
+            for j, (xr, xi, dirs) in enumerate(pulled):
                 acc_re, acc_im = cmul_acc(
                     acc_re, acc_im,
                     clover_ref[q, i, j, 0], clover_ref[q, i, j, 1], xr, xi)
-
-                # neighbor planes from parity p
-                same_re = xwin[p, j, 0, 8:tile + 8, :]
-                same_im = xwin[p, j, 1, 8:tile + 8, :]
-                up_re = xwin[p, j, 0, 9:tile + 9, :]    # y+1
-                up_im = xwin[p, j, 1, 9:tile + 9, :]
-                dn_re = xwin[p, j, 0, 7:tile + 7, :]    # y-1
-                dn_im = xwin[p, j, 1, 7:tile + 7, :]
-                # pltpu.roll requires non-negative shifts; xh_len-1 == -1.
-                rolm_re = pltpu.roll(same_re, xh_len - 1, 1)  # xh+1
-                rolm_im = pltpu.roll(same_im, xh_len - 1, 1)
-                rolp_re = pltpu.roll(same_re, 1, 1)           # xh-1
-                rolp_im = pltpu.roll(same_im, 1, 1)
-
-                direct = (row_par == q)
-                xp_re = jnp.where(direct, same_re, rolm_re)  # pull +x
-                xp_im = jnp.where(direct, same_im, rolm_im)
-                xm_re = jnp.where(direct, rolp_re, same_re)  # pull -x
-                xm_im = jnp.where(direct, rolp_im, same_im)
-
-                for d, (sr, si) in ((DIR_XP1, (xp_re, xp_im)),
-                                    (DIR_YP1, (up_re, up_im)),
-                                    (DIR_XM1, (xm_re, xm_im)),
-                                    (DIR_YM1, (dn_re, dn_im))):
+                for d, sr, si in dirs:
                     acc_re, acc_im = cmul_acc(
                         acc_re, acc_im,
                         hopping_ref[d, q, i, j, 0],
@@ -207,8 +226,10 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
             out_shape=jax.ShapeDtypeStruct((2, nc, 2, y_len, xh),
                                            jnp.float32),
             scratch_shapes=[
-                pltpu.VMEM((2, nc, 2, tile + 16, xh), jnp.float32),
-                pltpu.SemaphoreType.DMA((3,)),
+                # Double-buffered x windows: slot t%2 computes while
+                # slot (t+1)%2 prefetches the next tile's halo window.
+                pltpu.VMEM((2, 2, nc, 2, tile + 16, xh), jnp.float32),
+                pltpu.SemaphoreType.DMA((2, 3)),
             ],
             interpret=interpret,
         )(x_pl, clover_pl, hopping_pl)

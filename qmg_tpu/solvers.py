@@ -58,7 +58,16 @@ def _i32(v):
 # Conjugate gradient (for hermitian positive definite ops).
 # ---------------------------------------------------------------------------
 
-def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8) -> SolveResult:
+def _verbose_print(verbose, k, rsq, bsq):
+    """Per-iteration residual print (quantum-linalg
+    inversion_verbose_struct analog); works inside jit via debug.print."""
+    if verbose:
+        jax.debug.print(verbose + "iter {k} relres {r:.6e}", k=k,
+                        r=jnp.sqrt(rsq / bsq))
+
+
+def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
+       verbose=None) -> SolveResult:
     x0 = jnp.zeros_like(b) if x0 is None else x0
     bsq = norm2sq(b)
     target = jnp.real(tol) ** 2 * bsq
@@ -78,6 +87,7 @@ def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8) -> SolveResult:
         rsq_new = norm2sq(r)
         beta = rsq_new / rsq
         p = r + beta * p
+        _verbose_print(verbose, k + 1, rsq_new, bsq)
         return (x, r, p, rsq_new, k + 1)
 
     x, r, p, rsq, k = jax.lax.while_loop(
@@ -116,7 +126,7 @@ def cg_restart(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
 # ---------------------------------------------------------------------------
 
 def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
-              precond=None, precond_carry=None):
+              precond=None, precond_carry=None, verbose=None):
     x0 = jnp.zeros_like(b) if x0 is None else x0
     bsq = norm2sq(b)
     target = jnp.real(tol) ** 2 * bsq
@@ -173,6 +183,7 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
         ps = jax.lax.dynamic_update_index_in_dim(ps, z, j, 0)
         aps = jax.lax.dynamic_update_index_in_dim(aps, ap, j, 0)
         apsq = jax.lax.dynamic_update_index_in_dim(apsq, apsq_new, j, 0)
+        _verbose_print(verbose, k + 1, rsq, bsq)
         return (x, r, rsq, ps, aps, apsq, j + 1, k + 1, ops, carry)
 
     state0 = (x0, r0, norm2sq(r0), ps0, aps0, apsq0, _i32(0), _i32(0),
@@ -182,36 +193,38 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
     return SolveResult(x, k, rsq, rsq <= target, ops), carry
 
 
-def gcr(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8) -> SolveResult:
+def gcr(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
+        verbose=None) -> SolveResult:
     """Unrestarted GCR: keeps up to max_iter directions."""
     res, _ = _gcr_impl(matvec, b, x0, max_iter, tol,
-                       restart_len=max(int(max_iter), 1))
+                       restart_len=max(int(max_iter), 1), verbose=verbose)
     return res
 
 
 def gcr_restart(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
-                restart_freq: int = 32) -> SolveResult:
+                restart_freq: int = 32, verbose=None) -> SolveResult:
     res, _ = _gcr_impl(matvec, b, x0, max_iter, tol,
-                       restart_len=int(restart_freq))
+                       restart_len=int(restart_freq), verbose=verbose)
     return res
 
 
 def gcr_var_precond(matvec, b, precond, x0=None, max_iter: int = 1000,
-                    tol=1e-8, precond_carry=None):
+                    tol=1e-8, precond_carry=None, verbose=None):
     """Flexible GCR with a variable (possibly nonlinear) preconditioner -
     the outer solver of the reference's MG stack
     (quantum-linalg minv_vector_gcr_var_precond)."""
     return _gcr_impl(matvec, b, x0, max_iter, tol,
                      restart_len=max(int(max_iter), 1), precond=precond,
-                     precond_carry=precond_carry)
+                     precond_carry=precond_carry, verbose=verbose)
 
 
 def gcr_var_precond_restart(matvec, b, precond, x0=None,
                             max_iter: int = 1000, tol=1e-8,
-                            restart_freq: int = 32, precond_carry=None):
+                            restart_freq: int = 32, precond_carry=None,
+                            verbose=None):
     return _gcr_impl(matvec, b, x0, max_iter, tol,
                      restart_len=int(restart_freq), precond=precond,
-                     precond_carry=precond_carry)
+                     precond_carry=precond_carry, verbose=verbose)
 
 
 # ---------------------------------------------------------------------------

@@ -349,6 +349,10 @@ class Stencil2D:
         self._dagger: Optional[StencilCoeffs] = None
         self._rbjacobi: Optional[RBJacobiSet] = None
         self._rbj_dagger: Optional[RBJacobiSet] = None
+        # Optional fused-kernel replacement for the ORIGINAL apply
+        # (set by e.g. the TPU planes solver to route the hot Dslash
+        # through the Pallas kernel). Must compute the FULL apply_M.
+        self.apply_override = None
 
     # --- construction / update ---
     @property
@@ -381,6 +385,39 @@ class Stencil2D:
             kw["hopping"] = hopping
         self.coeffs = self.coeffs.replace(**kw)
         self.invalidate_derived()
+
+    def clear_stencils(self):
+        """Zero all coefficient pieces (reference clear_stencils,
+        stencil_2d.h:339-375)."""
+        kw = {}
+        if self.coeffs.clover is not None:
+            kw["clover"] = jnp.zeros_like(self.coeffs.clover)
+        if self.coeffs.hopping is not None:
+            kw["hopping"] = jnp.zeros_like(self.coeffs.hopping)
+        self.coeffs = self.coeffs.replace(**kw)
+        self.invalidate_derived()
+
+    def prune_stencils(self, clover: bool = False, hopping: bool = False):
+        """Drop coefficient pieces (reference prune_stencils,
+        stencil_2d.h:379-404)."""
+        kw = {}
+        if clover:
+            kw["clover"] = None
+        if hopping:
+            kw["hopping"] = None
+        if kw:
+            self.coeffs = dataclasses.replace(self.coeffs, **kw)
+            self.invalidate_derived()
+
+    def try_prune_stencils(self, tol: float, clover: bool = True,
+                           hopping: bool = True):
+        """Drop pieces whose max-norm is below tol (reference
+        try_prune_stencils, stencil_2d.h:407-431)."""
+        drop_c = (clover and self.coeffs.clover is not None and
+                  float(jnp.max(jnp.abs(self.coeffs.clover))) < tol)
+        drop_h = (hopping and self.coeffs.hopping is not None and
+                  float(jnp.max(jnp.abs(self.coeffs.hopping))) < tol)
+        self.prune_stencils(clover=drop_c, hopping=drop_h)
 
     def invalidate_derived(self):
         """Reference kills dagger/rbjacobi builds on update_links
@@ -447,6 +484,8 @@ class Stencil2D:
     def apply_M(self, x, stype: StencilType = StencilType.ORIGINAL):
         t = StencilType(stype)
         if t == StencilType.ORIGINAL:
+            if self.apply_override is not None:
+                return self.apply_override(x)
             return apply_M(self.coeffs, x)
         if t == StencilType.DAGGER:
             return apply_M(self.dagger_coeffs, x)

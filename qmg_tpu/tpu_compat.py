@@ -106,19 +106,34 @@ def mg_state_planes(mg):
     return state
 
 
-def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32):
+def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
+                       use_pallas_fine: bool = False, pallas_tile: int = 16,
+                       pallas_interpret: bool = False):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
     The hierarchy's complex state is swapped in from the plane encoding at
     trace time (one decode pass per solve - negligible vs the Krylov
     work), so the same StatefulMultigridMG drives CPU fp64 and TPU c64.
+
+    ``use_pallas_fine`` routes the fine level's ORIGINAL apply (the hot
+    Dslash inside the outer FGCR and the level-0 smoothers) through the
+    fused Pallas kernel; kernel channel planes are computed once per
+    solve, and per-apply layout conversions fuse into neighboring ops.
     """
     from . import solvers
     from .stencil import StencilType
 
     state = mg_state_planes(mg)
     n_levels = mg.get_num_levels()
+
+    pallas_apply = None
+    if use_pallas_fine:
+        from .pallas_dslash import make_pallas_dslash_shaped
+        lat0 = mg.get_lattice(0)
+        pallas_apply = make_pallas_dslash_shaped(
+            lat0.nc, lat0.y_len, lat0.xh, tile=pallas_tile,
+            interpret=pallas_interpret)
 
     def solve_planes(state, b_planes):
         # Patch decoded complex arrays into the hierarchy for tracing.
@@ -142,9 +157,18 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32):
             t._nvb = from_planes(state[f"nvb{lvl}"])
         try:
             b = from_planes(b_planes)
+            fine_st = mg.get_stencil(0)
+            if pallas_apply is not None:
+                from .pallas_dslash import (_channels_from_coeffs,
+                                            x_to_planes, x_from_planes)
+                # Channel planes computed once per solve (traced outside
+                # the Krylov loops, so XLA hoists them).
+                ck, hk = _channels_from_coeffs(fine_st.coeffs)
+                fine_st.apply_override = (
+                    lambda v: x_from_planes(pallas_apply(
+                        ck, hk, x_to_planes(v))).astype(v.dtype))
             precond = mg.make_preconditioner(0)
-            matvec = mg.get_stencil(0).get_apply_function(
-                StencilType.ORIGINAL)
+            matvec = fine_st.get_apply_function(StencilType.ORIGINAL)
             carry = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
                      "iters": jnp.zeros((n_levels,), jnp.int32)}
             res, carry = solvers.gcr_var_precond_restart(
@@ -156,6 +180,7 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32):
             for (st, coeffs, dag, rbj, rbjd) in saved:
                 st.coeffs = coeffs
                 st._dagger, st._rbjacobi, st._rbj_dagger = dag, rbj, rbjd
+                st.apply_override = None
             for (t, nvb) in saved_nvb:
                 t._nvb = nvb
 
