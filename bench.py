@@ -36,7 +36,7 @@ def main():
     p.add_argument("--mode", choices=["dslash", "kcycle"], default="dslash")
     p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas",
                    help="fused Pallas Dslash (default) or the jnp/XLA path")
-    p.add_argument("--tile", type=int, default=16,
+    p.add_argument("--tile", type=int, default=32,
                    help="Pallas Y-tile rows")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
@@ -178,8 +178,13 @@ def bench_kcycle(args):
         cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
                            nullvec_max_iter=200)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+        # Route the fine Dslash through the fused Pallas kernel when the
+        # lattice is kernel-aligned (Xh % 128, Y % 8).
+        use_pallas = (args.kernel == "pallas" and lat.xh % 128 == 0
+                      and lat.y_len % 8 == 0)
         solve_planes, state = make_planes_solver(
-            mg, tol=tol, max_iter=200, restart_freq=32)
+            mg, tol=tol, max_iter=200, restart_freq=32,
+            use_pallas_fine=use_pallas, pallas_tile=args.tile)
         b_p = host_to_planes(rng.gaussian_cv(lat))
 
     solve_jit = jax.jit(solve_planes)

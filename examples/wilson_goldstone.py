@@ -34,6 +34,8 @@ def main():
     p.add_argument("--n-update", type=int, default=100)
     p.add_argument("--tol", type=float, default=None)
     p.add_argument("--tpu", action="store_true")
+    p.add_argument("--op", choices=["wilson", "staggered"],
+                   default="wilson")
     args = p.parse_args()
 
     import jax
@@ -53,10 +55,10 @@ def main():
     from qmg_tpu.tpu_compat import host_to_planes, from_planes, to_planes
     from qmg_tpu import u1, solvers, measure
     from qmg_tpu.rng import QMGRandom
-    from qmg_tpu.reductions import norm2sq_timeslice
 
     L = args.L
-    lat = Lattice2D(L, L, 2)
+    nc = 2 if args.op == "wilson" else 1
+    lat = Lattice2D(L, L, nc)
     lat_g = lat.with_nc(1)
     rng = QMGRandom(1337)
     cdt = jnp.dtype(dtype_c)
@@ -66,7 +68,9 @@ def main():
 
     @jax.jit
     def solve_planes(cpl, hpl, bpl):
-        coeffs = make_coeffs(lat, clover=from_planes(cpl),
+        coeffs = make_coeffs(lat,
+                             clover=(from_planes(cpl) if cpl is not None
+                                     else None),
                              hopping=from_planes(hpl), shift=mass,
                              dtype=cdt)
         res = solvers.bicgstab_l(lambda v: apply_M(coeffs, v),
@@ -74,9 +78,9 @@ def main():
                                  l=6)
         return to_planes(res.x), res.iters
 
-    # Point sources at the origin, one per spin (reference n15:133,:150).
+    # Point sources at the origin, one per dof (reference n15:133,:150).
     srcs = []
-    for c in range(2):
+    for c in range(nc):
         s = np.zeros(lat.cv_shape(), dtype=np.complex128)
         pp, yy, xh = lat.coord_to_pyx(0, 0)
         s[pp, yy, xh, c] = 1.0
@@ -93,9 +97,18 @@ def main():
         ph = u1.heatbath_noncompact_update(ph, lat_g, args.beta,
                                            args.n_update, rng)
         gauge = np.exp(1j * ph)
-        plaq_field = None
-        clover, hopping = wilson_coeffs_numpy(lat, gauge)
-        cpl = host_to_planes(clover, dtype=fdt)
+        if args.op == "wilson":
+            clover, hopping = wilson_coeffs_numpy(lat, gauge)
+            cpl = host_to_planes(clover, dtype=fdt)
+        else:
+            from qmg_tpu.operators import Staggered2D
+            import jax as _jax
+            with _jax.default_device(_jax.devices("cpu")[0]):
+                stag = Staggered2D(lat, mass, jnp.asarray(gauge),
+                                   dtype=jnp.complex64 if args.tpu
+                                   else jnp.complex128)
+                hopping = np.asarray(stag.coeffs.hopping)
+            cpl = None
         hpl = host_to_planes(hopping, dtype=fdt)
         pion = np.zeros(L)
         for s in srcs:

@@ -16,7 +16,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from .lattice import Lattice2D
-from .reductions import norm2sq_timeslice, gaussian_wall_source
+from .reductions import norm2sq_timeslice
 
 __all__ = ["point_source", "fold_correlator", "pion_correlator",
            "effective_mass", "effective_mass_cosh"]

@@ -18,15 +18,12 @@ folds that direction's hopping into the clover (:226-233 etc.).
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 
 from ..lattice import Lattice2D, DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
 from ..stencil import (Stencil2D, StencilCoeffs, make_coeffs, apply_clover,
-                       apply_hopping, DefaultChirality, ChiralityState,
-                       SigmaType)
+                       apply_hopping, DefaultChirality, ChiralityState)
 from ..transfer import TransferMG, DoublingType
 from .. import linalg
 

@@ -9,8 +9,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..lattice import Lattice2D, DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
-from ..cshift import cshift_pull, cshift_pull_half
+from ..lattice import Lattice2D, DIR_XM1, DIR_YM1
+from ..cshift import cshift_pull
 from ..stencil import (Stencil2D, make_coeffs, ChiralityState,
                        DefaultChirality, apply_hopping_half)
 from .. import linalg

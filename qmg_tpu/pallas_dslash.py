@@ -33,7 +33,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .lattice import Lattice2D, DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
+from .lattice import DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
 from .stencil import StencilCoeffs, mass_pattern
 
 

@@ -20,7 +20,7 @@ solvers.py is unchanged, which is exactly the XLA-native scaling recipe
 
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional
 
 import numpy as np
 import jax

@@ -16,8 +16,6 @@ API); this module packages the same flows:
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional, Sequence
-
 import jax.numpy as jnp
 
 from .lattice import Lattice2D

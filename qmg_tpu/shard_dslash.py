@@ -14,12 +14,10 @@ blocked MG transfer aligned. Works for any distance-1 stencil.
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 try:
     from jax import shard_map  # jax >= 0.7 location
 except ImportError:  # pragma: no cover

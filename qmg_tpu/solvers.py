@@ -22,7 +22,7 @@ coarse_tol * rnorm/rnorm_prep rescale) are traced scalars.
 
 from __future__ import annotations
 
-from typing import Callable, NamedTuple, Optional
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -19,15 +19,12 @@ through the jitted solve as an integer carry: counts (n_levels, 4) by
 from __future__ import annotations
 
 import dataclasses
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from .lattice import Lattice2D
 from .stencil import Stencil2D, StencilType
-from .transfer import TransferMG
 from .multigrid import MultigridMG
 from . import solvers
 from .linalg import norm2sq, vdot
@@ -128,6 +125,7 @@ class StatefulMultigridMG(MultigridMG):
         self.dslash_tracker_list = [DslashTrackerMG()]
         self.coarsest_evals = None
         self.coarsest_evecs = None
+        self._solve_cache = {}
 
     # --- level management (reference :374-497) ---
     def push_level(self, new_lat, new_transfer, level_solve=None, **kw):
@@ -416,19 +414,40 @@ class StatefulMultigridMG(MultigridMG):
         Returns a SolveResult; Dslash counters are absorbed into the
         host-side trackers when ``track``.
         """
-        matvec = self._apply_level(0, StencilType(outer_type))
-        precond = self.make_preconditioner(0)
         n_levels = self.get_num_levels()
 
-        def run(b, x0):
-            carry = _zero_carry(n_levels)
-            res, carry = solvers.gcr_var_precond_restart(
-                matvec, b, precond, x0=x0, max_iter=max_iter, tol=tol,
-                restart_freq=restart_freq, precond_carry=carry)
-            return res, carry
+        # Cache compiled solves. The key includes the identity of every
+        # coefficient/null-vector buffer (they are closure constants in
+        # the traced computation), so update_links / update_level / new
+        # transfers correctly invalidate the cache while repeated solves
+        # (e.g. per-source propagators) reuse the executable.
+        state_ids = []
+        for lvl in range(n_levels):
+            c = self.get_stencil(lvl).coeffs
+            state_ids += [id(c.clover), id(c.hopping), complex(c.shift)]
+        for lvl in range(n_levels - 1):
+            state_ids.append(id(self.get_transfer(lvl)._nvb))
+        key = (tuple(state_ids), b.shape, str(b.dtype), float(tol),
+               int(max_iter), int(restart_freq), int(outer_type),
+               id(self.coarsest_evecs))
 
-        if jit:
-            run = jax.jit(run)
+        run = self._solve_cache.get(key) if jit else None
+        if run is None:
+            matvec = self._apply_level(0, StencilType(outer_type))
+            precond = self.make_preconditioner(0)
+
+            def run(b, x0):
+                carry = _zero_carry(n_levels)
+                res, carry = solvers.gcr_var_precond_restart(
+                    matvec, b, precond, x0=x0, max_iter=max_iter, tol=tol,
+                    restart_freq=restart_freq, precond_carry=carry)
+                return res, carry
+
+            if jit:
+                run = jax.jit(run)
+                if len(self._solve_cache) > 8:
+                    self._solve_cache.clear()
+                self._solve_cache[key] = run
         x0 = jnp.zeros_like(b) if x0 is None else x0
         res, carry = run(b, x0)
         if track:

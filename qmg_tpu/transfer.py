@@ -23,8 +23,6 @@ factors the coarse chirality machinery needs (operators/coarse.h:669-892).
 from __future__ import annotations
 
 import enum
-from typing import Optional
-
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -17,8 +17,6 @@ native/), mirroring the reference's "can't be parallelized as is" comment
 
 from __future__ import annotations
 
-import os
-
 import numpy as np
 import jax.numpy as jnp
 

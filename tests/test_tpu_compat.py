@@ -51,3 +51,33 @@ def test_planes_mg_solver_matches_complex_path():
     res2 = mg.solve(b, tol=1e-8, max_iter=200, restart_freq=32,
                     track=False)
     assert int(res2.iters) == int(ref.iters)
+
+
+def test_planes_solver_pallas_fine_interpret():
+    """use_pallas_fine plumbing: the fused kernel replaces the fine-level
+    ORIGINAL apply inside the whole-solver jit (interpret mode, tiny
+    iteration budget - the full numeric equivalence is covered by the
+    kernel tests; this checks the integration path end-to-end)."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.unit_gauge_u1(lat), jnp.complex64)
+    op = Wilson2D(lat, 0.1, g, dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True,
+                       inner_max_iter=2, coarsest_max_iter=2,
+                       n_pre_smooth=1, n_post_smooth=1)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = np.asarray(rng.gaussian_cv(lat))
+    sp0, st0 = make_planes_solver(mg, tol=1e-3, max_iter=3)
+    sp1, st1 = make_planes_solver(mg, tol=1e-3, max_iter=3,
+                                  use_pallas_fine=True, pallas_tile=8,
+                                  pallas_interpret=True)
+    bp = host_to_planes(b)
+    x0, i0, r0 = sp0(st0, bp)
+    x1, i1, r1 = sp1(st1, bp)
+    assert int(i0) == int(i1)
+    d = float(np.max(np.abs(np.asarray(x0) - np.asarray(x1))))
+    scale = float(np.max(np.abs(np.asarray(x0))))
+    assert d < 5e-5 * max(scale, 1.0), f"diff {d} scale {scale}"
+    # override restored after tracing
+    assert mg.get_stencil(0).apply_override is None
