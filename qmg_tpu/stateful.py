@@ -234,9 +234,14 @@ class StatefulMultigridMG(MultigridMG):
         st = self.get_stencil(level)
         return lambda x: st.apply_M(x, stype)
 
-    def make_preconditioner(self, level: int = 0):
+    def make_preconditioner(self, level: int = 0, verbose: bool = False):
         """Returns precond(rhs, carry) -> (lhs, carry), a pure traced
-        function implementing one K-cycle at ``level``."""
+        function implementing one K-cycle at ``level``.
+
+        ``verbose`` prints per-iteration residuals of the inner Krylov
+        solves with the reference's indentation scheme
+        ("[QMG-MG-SOLVE-INFO]: Level N", stateful_multigrid.h:761-776),
+        via jax.debug.print so it works inside jit."""
         n_levels = self.get_num_levels()
         if n_levels == 1:
             return lambda rhs, carry: (rhs, carry)
@@ -265,6 +270,9 @@ class StatefulMultigridMG(MultigridMG):
             coarse_restart = cs.coarsest_restart_freq
         apply_coarse = self._apply_level(level + 1, coarse_type)
         coarsest_normal = coarse_type in _NORMAL_TYPES
+        vprefix = ("  " * (level + 1)
+                   + f"[QMG-MG-SOLVE-INFO]: Level {level + 1} "
+                   if verbose else None)
 
         def smoother(rhs, x_in, n_iters, s_tol, use_cgne, dslash_type,
                      carry):
@@ -340,7 +348,7 @@ class StatefulMultigridMG(MultigridMG):
                     if coarse_restart == -1:
                         res = solvers.cg(mv, r_coarse_prep, x0=e0,
                                          max_iter=coarse_max_iter,
-                                         tol=inner_tol)
+                                         tol=inner_tol, verbose=vprefix)
                     else:
                         res = solvers.cg_restart(
                             mv, r_coarse_prep, x0=e0,
@@ -350,27 +358,29 @@ class StatefulMultigridMG(MultigridMG):
                     if coarse_restart == -1:
                         res = solvers.gcr(mv, r_coarse_prep, x0=e0,
                                           max_iter=coarse_max_iter,
-                                          tol=inner_tol)
+                                          tol=inner_tol, verbose=vprefix)
                     else:
                         res = solvers.gcr_restart(
                             mv, r_coarse_prep, x0=e0,
                             max_iter=coarse_max_iter, tol=inner_tol,
-                            restart_freq=coarse_restart)
+                            restart_freq=coarse_restart, verbose=vprefix)
                 e_coarse = res.x
                 sub_iters, sub_ops = res.iters, res.ops_count
             else:
                 # K-cycle recursion (reference :973-995).
-                inner_precond = self.make_preconditioner(level + 1)
+                inner_precond = self.make_preconditioner(level + 1,
+                                                         verbose=verbose)
                 if coarse_restart == -1:
                     res, carry = solvers.gcr_var_precond(
                         apply_coarse, r_coarse_prep, inner_precond,
                         max_iter=coarse_max_iter, tol=inner_tol,
-                        precond_carry=carry)
+                        precond_carry=carry, verbose=vprefix)
                 else:
                     res, carry = solvers.gcr_var_precond_restart(
                         apply_coarse, r_coarse_prep, inner_precond,
                         max_iter=coarse_max_iter, tol=inner_tol,
-                        restart_freq=coarse_restart, precond_carry=carry)
+                        restart_freq=coarse_restart, precond_carry=carry,
+                        verbose=vprefix)
                 e_coarse = res.x
                 sub_iters, sub_ops = res.iters, res.ops_count
             carry = dict(carry)
@@ -408,7 +418,8 @@ class StatefulMultigridMG(MultigridMG):
     def solve(self, b, tol: float = 1e-10, max_iter: int = 1000,
               restart_freq: int = 32,
               outer_type: StencilType = StencilType.ORIGINAL, x0=None,
-              track: bool = True, jit: bool = True):
+              track: bool = True, jit: bool = True,
+              verbose: bool = False):
         """Run the outer flexible GCR with the K-cycle preconditioner.
 
         Returns a SolveResult; Dslash counters are absorbed into the
@@ -429,18 +440,20 @@ class StatefulMultigridMG(MultigridMG):
             state_ids.append(id(self.get_transfer(lvl)._nvb))
         key = (tuple(state_ids), b.shape, str(b.dtype), float(tol),
                int(max_iter), int(restart_freq), int(outer_type),
-               id(self.coarsest_evecs))
+               id(self.coarsest_evecs), bool(verbose))
 
         run = self._solve_cache.get(key) if jit else None
         if run is None:
             matvec = self._apply_level(0, StencilType(outer_type))
-            precond = self.make_preconditioner(0)
+            precond = self.make_preconditioner(0, verbose=verbose)
+            vprefix = "[QMG-MG-SOLVE-INFO]: Level 0 " if verbose else None
 
             def run(b, x0):
                 carry = _zero_carry(n_levels)
                 res, carry = solvers.gcr_var_precond_restart(
                     matvec, b, precond, x0=x0, max_iter=max_iter, tol=tol,
-                    restart_freq=restart_freq, precond_carry=carry)
+                    restart_freq=restart_freq, precond_carry=carry,
+                    verbose=vprefix)
                 return res, carry
 
             if jit:
