@@ -99,12 +99,20 @@ def main():
 
     # Ops/iteration report (reference n22:506-522 format).
     names = ["NULLVEC", "KRYLOV", "PRESMOOTH", "POSTSMOOTH"]
+    total_flops = 0.0
     for lvl in range(mg.get_num_levels()):
         counts = [mg.get_tracker_count(t, lvl) for t in range(4)]
         print(f"[QMG-OPS-STATS]: Level {lvl} "
               + " ".join(f"{n} {c}" for n, c in zip(names, counts)))
+        # Dslash flops: 5 site matvecs of nc x nc complex per apply.
+        lat_l = mg.get_lattice(lvl)
+        flops_per_apply = 5 * lat_l.volume * (8 * lat_l.nc ** 2
+                                              - 2 * lat_l.nc)
+        total_flops += sum(counts) * flops_per_apply
     print("[QMG-ITER-STATS]: avg iterations per level "
           + " ".join(f"{v:.2f}" for v in mg.query_average_iterations()))
+    print(f"[QMG-FLOPS]: ~{total_flops/1e9:.2f} GFLOP of operator applies"
+          f" ({total_flops/dt/1e9:.1f} GFLOP/s over the solve)")
 
 
 if __name__ == "__main__":

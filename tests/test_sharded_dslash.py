@@ -66,3 +66,31 @@ def test_sharded_solver_end_to_end(mesh):
     assert bool(res.converged)
     resid = float(jnp.sqrt(norm2sq(b - op.apply_M(res.x)) / norm2sq(b)))
     assert resid < 1e-9
+
+
+def test_mg_solve_with_sharded_fine_dslash(mesh):
+    """Full K-cycle solve with the fine-level Dslash routed through the
+    explicit shard_map+ppermute apply (apply_override hook); coarse
+    levels and transfers ride XLA auto-sharding."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.rng import QMGRandom
+    from qmg_tpu.linalg import norm2sq
+
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    g = u1.unit_gauge_u1(lat)
+    op = Wilson2D(lat, 0.1, g)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = jnp.asarray(rng.gaussian_cv(lat))
+    ref = mg.solve(b, tol=1e-8, max_iter=200, track=False)
+
+    op.apply_override = make_sharded_dslash(op.coeffs, mesh)
+    try:
+        bs = parallel.shard_field(b, mesh)
+        res = mg.solve(bs, tol=1e-8, max_iter=200, track=False)
+    finally:
+        op.apply_override = None
+    assert int(res.iters) == int(ref.iters)
+    resid = float(jnp.sqrt(norm2sq(b - op.apply_M(res.x)) / norm2sq(b)))
+    assert resid < 1e-7
