@@ -117,8 +117,11 @@ def main():
                              axis=(0, 2, 3, 4))  # per-y |prop|^2
             pion += measure.fold_correlator(prop_sq)
         pions.append(pion)
-        g = u1.phases_to_links(ph)
-        plaqs.append(float(np.real(complex(u1.get_plaquette_u1(g, lat_g)))))
+        # Observables on the CPU backend (the TPU rejects eager complex).
+        with jax.default_device(jax.devices("cpu")[0]):
+            g = u1.phases_to_links(np.asarray(ph))
+            plaqs.append(float(np.real(complex(
+                u1.get_plaquette_u1(g, lat_g)))))
         if (cfg + 1) % 10 == 0:
             print(f"[QMG-MEAS]: config {cfg+1}/{args.n_configs} "
                   f"plaq {plaqs[-1]:.5f} iters {int(iters)} "
