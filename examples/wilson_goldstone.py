@@ -76,7 +76,7 @@ def main():
         res = solvers.bicgstab_l(lambda v: apply_M(coeffs, v),
                                  from_planes(bpl), max_iter=4000, tol=tol,
                                  l=6)
-        return to_planes(res.x), res.iters
+        return to_planes(res.x), res.iters, res.converged.astype("int32")
 
     # Point sources at the origin, one per dof (reference n15:133,:150).
     srcs = []
@@ -111,11 +111,19 @@ def main():
             cpl = None
         hpl = host_to_planes(hopping, dtype=fdt)
         pion = np.zeros(L)
+        ok = True
         for s in srcs:
-            xpl, iters = solve_planes(cpl, hpl, s)
+            xpl, iters, conv = solve_planes(cpl, hpl, s)
+            if not int(conv):
+                print(f"[QMG-WARNING]: config {cfg} solve did not "
+                      f"converge (f32 breakdown?) - skipping config")
+                ok = False
+                break
             prop_sq = np.sum(np.asarray(xpl, dtype=np.float64) ** 2,
                              axis=(0, 2, 3, 4))  # per-y |prop|^2
             pion += measure.fold_correlator(prop_sq)
+        if not ok:
+            continue
         pions.append(pion)
         # Observables on the CPU backend (the TPU rejects eager complex).
         with jax.default_device(jax.devices("cpu")[0]):

@@ -76,7 +76,8 @@ def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
 
     def cond(s):
         x, r, p, rsq, k = s
-        return jnp.logical_and(k < max_iter, rsq > target)
+        return jnp.logical_and(jnp.isfinite(rsq),
+                               jnp.logical_and(k < max_iter, rsq > target))
 
     def body(s):
         x, r, p, rsq, k = s
@@ -145,7 +146,8 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
 
     def cond(s):
         x, r, rsq, ps, aps, apsq, j, k, ops, carry = s
-        return jnp.logical_and(k < max_iter, rsq > target)
+        return jnp.logical_and(jnp.isfinite(rsq),
+                               jnp.logical_and(k < max_iter, rsq > target))
 
     def body(s):
         x, r, rsq, ps, aps, apsq, j, k, ops, carry = s
@@ -242,7 +244,8 @@ def bicgstab(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8
 
     def cond(s):
         x, r, p, v, rho, alpha, omega, rsq, k, ops = s
-        return jnp.logical_and(k < max_iter, rsq > target)
+        return jnp.logical_and(jnp.isfinite(rsq),
+                               jnp.logical_and(k < max_iter, rsq > target))
 
     def body(s):
         x, r, p, v, rho, alpha, omega, rsq, k, ops = s
@@ -286,7 +289,9 @@ def bicgstab_l(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
 
     def cond(s):
         x, rs, us, rho0, alpha, omega, rsq, k, ops = s
-        return jnp.logical_and(k < max_cycles, rsq > target)
+        return jnp.logical_and(jnp.isfinite(rsq),
+                               jnp.logical_and(k < max_cycles,
+                                               rsq > target))
 
     def body(s):
         x, rs, us, rho0, alpha, omega, rsq, k, ops = s
