@@ -253,8 +253,12 @@ def heatbath_noncompact_update(phases, lat: Lattice2D, beta: float,
     ph = np.stack([eo_unpack(np.asarray(phases[mu]), lat)
                    for mu in range(2)])  # (mu, Y, X)
     from . import native  # local import: optional compiled extension
-    if native.have_heatbath():
-        ph = native.heatbath_sweeps(ph, beta, n_update, rng)
-    else:
+    from .rng import StdMT19937
+    if isinstance(rng, StdMT19937) or not native.have_heatbath():
+        # StdMT19937 = bit-exact std::mt19937/std::normal_distribution
+        # parity mode: draw through the Python stream (the native path
+        # uses its own mt19937_64).
         ph = _heatbath_sweeps_numpy(ph, beta, n_update, rng)
+    else:
+        ph = native.heatbath_sweeps(ph, beta, n_update, rng)
     return np.stack([eo_pack(ph[mu], lat) for mu in range(2)])
