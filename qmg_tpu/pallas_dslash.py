@@ -191,6 +191,18 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
     rejects eager complex ops, so callers that prepare channel planes on
     host use this directly). Returns apply_fn(clover_planes,
     hopping_planes, x_planes) -> out_planes."""
+    # Auto-fit the tile to the ~16 MB VMEM: double-buffered hopping/
+    # clover/out blocks plus the two x windows must fit with slack.
+    def vmem_bytes(t):
+        per_row = xh * 4
+        hopping = 8 * nc * nc * t * per_row * 2
+        clover = 2 * nc * nc * 2 * t * per_row * 2
+        out = 2 * nc * 2 * t * per_row * 2
+        xwin = 2 * 2 * nc * 2 * (t + 16) * per_row
+        return hopping + clover + out + xwin
+
+    while tile > 8 and vmem_bytes(tile) > 12 * 1024 * 1024:
+        tile -= 8
     if y_len % tile:
         tile = int(np.gcd(tile, y_len))
     if y_len % 8 or tile % 8:
