@@ -73,7 +73,7 @@ def x_from_planes(p):
     return jnp.moveaxis(v, 1, 3)
 
 
-def _dslash_kernel(nc: int, tile: int, y_len: int,
+def _dslash_kernel(nc: int, tile: int, y_len: int, double_buffer: bool,
                    x_hbm, clover_ref, hopping_ref, out_ref,
                    xwin, sems):
     """One Y-tile of the fused Dslash.
@@ -113,24 +113,31 @@ def _dslash_kernel(nc: int, tile: int, y_len: int,
                 sems.at[slot, 2]),
         )
 
-    slot = t % 2
-    next_slot = (t + 1) % 2
+    if double_buffer:
+        slot = t % 2
+        next_slot = (t + 1) % 2
 
-    # Warm-up: the first tile issues its own window synchronously.
-    @pl.when(t == 0)
-    def _():
-        for dma in window_dmas(0, 0):
+        # Warm-up: the first tile issues its own window synchronously.
+        @pl.when(t == 0)
+        def _():
+            for dma in window_dmas(0, 0):
+                dma.start()
+
+        # Prefetch the next tile's window while this tile computes.
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            for dma in window_dmas(next_slot, t + 1):
+                dma.start()
+
+        for dma in window_dmas(slot, t):
+            dma.wait()
+        xwin = xwin.at[slot]
+    else:
+        for dma in window_dmas(0, t):
             dma.start()
-
-    # Prefetch the next tile's window while this tile computes.
-    @pl.when(t + 1 < n_tiles)
-    def _():
-        for dma in window_dmas(next_slot, t + 1):
-            dma.start()
-
-    for dma in window_dmas(slot, t):
-        dma.wait()
-    xwin = xwin.at[slot]
+        for dma in window_dmas(0, t):
+            dma.wait()
+        xwin = xwin.at[0]
 
     xh_len = out_ref.shape[-1]
     y0 = t * tile
@@ -186,19 +193,22 @@ def _dslash_kernel(nc: int, tile: int, y_len: int,
 
 
 def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
-                              interpret: bool = False):
+                              interpret: bool = False,
+                              double_buffer: bool = True):
     """Shape-only kernel factory: no eager array work (the axon TPU
     rejects eager complex ops, so callers that prepare channel planes on
     host use this directly). Returns apply_fn(clover_planes,
     hopping_planes, x_planes) -> out_planes."""
     # Auto-fit the tile to the ~16 MB VMEM: double-buffered hopping/
     # clover/out blocks plus the two x windows must fit with slack.
+    n_slots = 2 if double_buffer else 1
+
     def vmem_bytes(t):
         per_row = xh * 4
         hopping = 8 * nc * nc * t * per_row * 2
         clover = 2 * nc * nc * 2 * t * per_row * 2
         out = 2 * nc * 2 * t * per_row * 2
-        xwin = 2 * 2 * nc * 2 * (t + 16) * per_row
+        xwin = n_slots * 2 * nc * 2 * (t + 16) * per_row
         return hopping + clover + out + xwin
 
     while tile > 8 and vmem_bytes(tile) > 12 * 1024 * 1024:
@@ -220,7 +230,8 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
             f"Xh={xh} - use the jnp apply below X=256")
     grid = (y_len // tile,)
 
-    kernel = functools.partial(_dslash_kernel, nc, tile, y_len)
+    kernel = functools.partial(_dslash_kernel, nc, tile, y_len,
+                               double_buffer)
 
     def apply_fn(clover_pl, hopping_pl, x_pl):
         return pl.pallas_call(
@@ -238,10 +249,11 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
             out_shape=jax.ShapeDtypeStruct((2, nc, 2, y_len, xh),
                                            jnp.float32),
             scratch_shapes=[
-                # Double-buffered x windows: slot t%2 computes while
+                # x windows: with double_buffer, slot t%2 computes while
                 # slot (t+1)%2 prefetches the next tile's halo window.
-                pltpu.VMEM((2, 2, nc, 2, tile + 16, xh), jnp.float32),
-                pltpu.SemaphoreType.DMA((2, 3)),
+                pltpu.VMEM((n_slots, 2, nc, 2, tile + 16, xh),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((n_slots, 3)),
             ],
             interpret=interpret,
         )(x_pl, clover_pl, hopping_pl)
