@@ -274,8 +274,7 @@ class StatefulMultigridMG(MultigridMG):
                    + f"[QMG-MG-SOLVE-INFO]: Level {level + 1} "
                    if verbose else None)
 
-        def smoother(rhs, x_in, n_iters, s_tol, use_cgne, dslash_type,
-                     carry):
+        def smoother(rhs, n_iters, s_tol, use_cgne, dslash_type, carry):
             """Pre/post smoother: MinRes(relax 0.85), or MinRes on M M^dag
             followed by M^dag (CGNE variant) (reference :845-866)."""
             if n_iters <= 0:
@@ -305,7 +304,7 @@ class StatefulMultigridMG(MultigridMG):
         def precond(rhs, carry):
             # --- presmooth (reference :840-873) ---
             if level_solve.pre_iters > 0:
-                z1, carry = smoother(rhs, None, level_solve.pre_iters,
+                z1, carry = smoother(rhs, level_solve.pre_iters,
                                      level_solve.pre_tol,
                                      level_solve.pre_cgne, DSLASH_PRESMOOTH,
                                      carry)
@@ -398,7 +397,7 @@ class StatefulMultigridMG(MultigridMG):
             # --- postsmooth (reference :1023-1056) ---
             if level_solve.post_iters > 0:
                 r2 = rhs - apply_fine(lhs)
-                z3, carry = smoother(r2, None, level_solve.post_iters,
+                z3, carry = smoother(r2, level_solve.post_iters,
                                      level_solve.post_tol,
                                      level_solve.post_cgne,
                                      DSLASH_POSTSMOOTH, carry)

@@ -75,3 +75,32 @@ def test_schur_coarse_op_consistency():
     assert err < 1e-11
     # rbjacobi coarsening transfers zero shift (rbj op has none).
     assert complex(coarse.coeffs.shift) == 0.0
+
+
+def test_coarse_nc8_rbjacobi_qr_inverse():
+    """SURVEY hard part #3: the batched per-site QR inverse must hold at
+    coarse nc=8 - B B^{-1} = I per site, and the coarse rbjacobi op
+    equals M B^{-1} densified."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu import linalg
+    from qmg_tpu.stencil import mass_pattern
+
+    lat0 = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
+    op = Wilson2D(lat0, -0.05, g)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=8, nullvec_max_iter=150,
+                       nullvec_tol=5e-4)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+    coarse = mg.get_stencil(1)
+    assert coarse.lat.nc == 8
+    rbj = coarse.build_rbjacobi_stencil()
+    b_mat = mass_pattern(coarse.coeffs) + coarse.coeffs.clover
+    ident = linalg.site_matmul(b_mat, rbj.cinv)
+    eye = linalg.identity_like(b_mat)
+    assert float(jnp.max(jnp.abs(ident - eye))) < 1e-10
+    # rbj apply == M(B^{-1} x).
+    xc = jnp.asarray(rng.gaussian_cv(coarse.lat))
+    got = coarse.apply_M(xc, StencilType.RIGHT_JACOBI)
+    expect = coarse.apply_M(linalg.site_matvec(rbj.cinv, xc))
+    assert float(jnp.max(jnp.abs(got - expect))) < 1e-10
