@@ -21,9 +21,10 @@ def test_checkpoint_roundtrip(tmp_path):
     rng = QMGRandom(1337)
     g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
     op = Wilson2D(lat, -0.05, g)
-    cfg = KCycleConfig(n_refine=2, coarse_dof=8, x_block=4, y_block=4,
-                       nullvec_max_iter=200)
-    # 16 -> 4 -> 1 point coarse.
+    cfg = KCycleConfig(n_refine=2, coarse_dof=2, x_block=4, y_block=4,
+                       free_null_vectors=True)
+    # 16 -> 4 -> 1 point coarse; geometric null vectors keep the test
+    # about (de)serialization, not setup solves.
     mg = build_kcycle_hierarchy(lat, op, cfg, rng)
     b = jnp.asarray(rng.gaussian_cv(lat))
     ref = mg.solve(b, tol=1e-8, max_iter=200, restart_freq=32, track=False)

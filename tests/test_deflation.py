@@ -26,9 +26,9 @@ def _make(deflate: bool):
     rng = QMGRandom(1337)
     g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
     op = Wilson2D(lat0, -0.05, g)
-    cfg = KCycleConfig(n_refine=1, coarse_dof=8,
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4,
                        coarsest_stencil_app=StencilType.MDAGGER_M,
-                       nullvec_max_iter=300)
+                       nullvec_max_iter=150, nullvec_tol=5e-4)
     mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
     mg.coarsest_solve.deflate = deflate
     if deflate:

@@ -40,7 +40,8 @@ def test_n16_heatbath_mg_measurement_stream():
     ph = u1.heatbath_noncompact_update(ph, lat_g, 6.0, 80, rng)
     g = u1.phases_to_links(ph)
     op = Wilson2D(lat, -0.01, g)
-    cfg = KCycleConfig(n_refine=1, coarse_dof=8, nullvec_max_iter=300)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, nullvec_max_iter=150,
+                       nullvec_tol=5e-4)
     corrs = []
     for step in range(2):
         if step > 0:

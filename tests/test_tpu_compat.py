@@ -30,7 +30,8 @@ def test_planes_mg_solver_matches_complex_path():
     rng = QMGRandom(1337)
     g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
     op = Wilson2D(lat, -0.05, g)
-    cfg = KCycleConfig(n_refine=1, coarse_dof=8, nullvec_max_iter=200)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, nullvec_max_iter=100,
+                       nullvec_tol=5e-4)
     mg = build_kcycle_hierarchy(lat, op, cfg, rng)
     b = jnp.asarray(rng.gaussian_cv(lat))
 
