@@ -180,21 +180,26 @@ def _dslash_kernel(nc: int, tile: int, y_len: int, double_buffer: bool,
             acc_re = jnp.zeros((tile, xh_len), jnp.float32)
             acc_im = jnp.zeros((tile, xh_len), jnp.float32)
             for j, (xr, xi, dirs) in enumerate(pulled):
+                # .astype: coefficients may stream as bf16 (mixed-
+                # precision preconditioner path); accumulate in f32.
                 acc_re, acc_im = cmul_acc(
                     acc_re, acc_im,
-                    clover_ref[q, i, j, 0], clover_ref[q, i, j, 1], xr, xi)
+                    clover_ref[q, i, j, 0].astype(jnp.float32),
+                    clover_ref[q, i, j, 1].astype(jnp.float32), xr, xi)
                 for d, sr, si in dirs:
                     acc_re, acc_im = cmul_acc(
                         acc_re, acc_im,
-                        hopping_ref[d, q, i, j, 0],
-                        hopping_ref[d, q, i, j, 1], sr, si)
+                        hopping_ref[d, q, i, j, 0].astype(jnp.float32),
+                        hopping_ref[d, q, i, j, 1].astype(jnp.float32),
+                        sr, si)
             out_ref[q, i, 0] = acc_re
             out_ref[q, i, 1] = acc_im
 
 
 def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
                               interpret: bool = False,
-                              double_buffer: bool = True):
+                              double_buffer: bool = True,
+                              coeff_dtype=jnp.float32):
     """Shape-only kernel factory: no eager array work (the axon TPU
     rejects eager complex ops, so callers that prepare channel planes on
     host use this directly). Returns apply_fn(clover_planes,
@@ -203,16 +208,20 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
     # clover/out blocks plus the two x windows must fit with slack.
     n_slots = 2 if double_buffer else 1
 
+    csize = jnp.dtype(coeff_dtype).itemsize
+
     def vmem_bytes(t):
         per_row = xh * 4
-        hopping = 8 * nc * nc * t * per_row * 2
-        clover = 2 * nc * nc * 2 * t * per_row * 2
+        c_row = xh * csize
+        hopping = 8 * nc * nc * t * c_row * 2
+        clover = 2 * nc * nc * 2 * t * c_row * 2
         out = 2 * nc * 2 * t * per_row * 2
         xwin = n_slots * 2 * nc * 2 * (t + 16) * per_row
         return hopping + clover + out + xwin
 
-    while tile > 8 and vmem_bytes(tile) > 12 * 1024 * 1024:
-        tile -= 8
+    step = 16 if csize < 4 else 8
+    while tile > step and vmem_bytes(tile) > 11 * 1024 * 1024:
+        tile -= step
     if y_len % tile:
         tile = int(np.gcd(tile, y_len))
     if y_len % 8 or tile % 8:
@@ -230,6 +239,8 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
             f"Xh={xh} - use the jnp apply below X=256")
     grid = (y_len // tile,)
 
+    if jnp.dtype(coeff_dtype).itemsize < 4 and tile % 16:
+        raise ValueError("sub-f32 coefficient dtypes need tile % 16 == 0")
     kernel = functools.partial(_dslash_kernel, nc, tile, y_len,
                                double_buffer)
 

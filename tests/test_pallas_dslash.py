@@ -43,3 +43,27 @@ def test_pallas_rejects_unaligned_lattice():
     op = Staggered2D(lat, 0.1, g, dtype=jnp.complex64)
     with pytest.raises(ValueError, match="multiples of 8"):
         make_pallas_dslash(op.coeffs, tile=8, interpret=True)
+
+
+def test_pallas_bf16_coefficients():
+    """Mixed-precision path: bf16 coefficient streams, f32 accumulate -
+    matches the f32 apply to bf16 rounding."""
+    L = 16
+    rng = QMGRandom(1337)
+    lat = Lattice2D(L, L, 2)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, -0.07, g, dtype=jnp.complex64)
+    x = jnp.asarray(rng.gaussian_cv(lat), dtype=jnp.complex64)
+    expect = np.asarray(apply_M(op.coeffs, x))
+    apply_fn, (cp, hp) = make_pallas_dslash(op.coeffs, tile=16,
+                                            interpret=True)
+    from qmg_tpu.pallas_dslash import make_pallas_dslash_shaped
+    bf16_fn = make_pallas_dslash_shaped(2, L, lat.xh, tile=16,
+                                        interpret=True,
+                                        coeff_dtype=jnp.bfloat16)
+    out = bf16_fn(cp.astype(jnp.bfloat16), hp.astype(jnp.bfloat16),
+                  x_to_planes(x))
+    got = np.asarray(x_from_planes(out))
+    # bf16 has ~3 decimal digits; per-site sums of 10 terms -> ~1e-2 rel.
+    scale = np.max(np.abs(expect))
+    np.testing.assert_allclose(got, expect, atol=3e-2 * scale)
