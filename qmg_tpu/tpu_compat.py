@@ -108,13 +108,17 @@ def mg_state_planes(mg):
 
 def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        use_pallas_fine: bool = False, pallas_tile: int = 16,
-                       pallas_interpret: bool = False):
+                       pallas_interpret: bool = False,
+                       pallas_coeff_dtype=None):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
     The hierarchy's complex state is swapped in from the plane encoding at
     trace time (one decode pass per solve - negligible vs the Krylov
     work), so the same StatefulMultigridMG drives CPU fp64 and TPU c64.
+    On the TPU backend, wrap the returned function in ``jax.jit`` -
+    complex64 is only supported inside jit, so eager execution fails
+    with an opaque UNIMPLEMENTED error.
 
     ``use_pallas_fine`` routes the fine level's ORIGINAL apply (the hot
     Dslash inside the outer FGCR and the level-0 smoothers) through the
@@ -127,13 +131,18 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
     state = mg_state_planes(mg)
     n_levels = mg.get_num_levels()
 
+    if pallas_coeff_dtype is not None and not use_pallas_fine:
+        raise ValueError("pallas_coeff_dtype requires use_pallas_fine=True "
+                         "(reduced-precision coefficients only exist on the "
+                         "Pallas kernel path)")
     pallas_apply = None
     if use_pallas_fine:
         from .pallas_dslash import make_pallas_dslash_shaped
         lat0 = mg.get_lattice(0)
         pallas_apply = make_pallas_dslash_shaped(
             lat0.nc, lat0.y_len, lat0.xh, tile=pallas_tile,
-            interpret=pallas_interpret)
+            interpret=pallas_interpret,
+            coeff_dtype=pallas_coeff_dtype or jnp.float32)
 
     def solve_planes(state, b_planes):
         # Patch decoded complex arrays into the hierarchy for tracing.
@@ -158,17 +167,25 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
         try:
             b = from_planes(b_planes)
             fine_st = mg.get_stencil(0)
+            from .stencil import apply_M as _apply_M
+            fine_coeffs = fine_st.coeffs
+            # The OUTER matvec stays exact (bypasses any kernel override):
+            # a reduced-precision fine apply is only legitimate inside the
+            # preconditioner, where flexible GCR absorbs the error.
+            matvec = lambda v: _apply_M(fine_coeffs, v)
             if pallas_apply is not None:
                 from .pallas_dslash import (_channels_from_coeffs,
                                             x_to_planes, x_from_planes)
                 # Channel planes computed once per solve (traced outside
                 # the Krylov loops, so XLA hoists them).
                 ck, hk = _channels_from_coeffs(fine_st.coeffs)
+                if pallas_coeff_dtype is not None:
+                    ck = ck.astype(pallas_coeff_dtype)
+                    hk = hk.astype(pallas_coeff_dtype)
                 fine_st.apply_override = (
                     lambda v: x_from_planes(pallas_apply(
                         ck, hk, x_to_planes(v))).astype(v.dtype))
             precond = mg.make_preconditioner(0)
-            matvec = fine_st.get_apply_function(StencilType.ORIGINAL)
             carry = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
                      "iters": jnp.zeros((n_levels,), jnp.int32)}
             res, carry = solvers.gcr_var_precond_restart(

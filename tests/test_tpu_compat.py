@@ -82,3 +82,30 @@ def test_planes_solver_pallas_fine_interpret():
     assert d < 5e-5 * max(scale, 1.0), f"diff {d} scale {scale}"
     # override restored after tracing
     assert mg.get_stencil(0).apply_override is None
+
+
+def test_planes_solver_bf16_preconditioner_interpret():
+    """Mixed precision: bf16 coefficient streams inside the K-cycle
+    preconditioner, exact outer operator - converges to the same
+    tolerance (FGCR absorbs preconditioner error)."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.unit_gauge_u1(lat), jnp.complex64)
+    op = Wilson2D(lat, 0.1, g, dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True,
+                       inner_max_iter=2, coarsest_max_iter=4,
+                       n_pre_smooth=1, n_post_smooth=1)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = np.asarray(rng.gaussian_cv(lat))
+    sp, st = make_planes_solver(mg, tol=1e-4, max_iter=40,
+                                use_pallas_fine=True, pallas_tile=16,
+                                pallas_interpret=True,
+                                pallas_coeff_dtype=jnp.bfloat16)
+    x_p, iters, res_sq = sp(st, host_to_planes(b))
+    x = from_planes(x_p)
+    from qmg_tpu.linalg import norm2sq
+    bj = jnp.asarray(b, jnp.complex64)
+    resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
+    assert resid < 1e-3, f"resid {resid}, iters {int(iters)}"
+    assert mg.get_stencil(0).apply_override is None
