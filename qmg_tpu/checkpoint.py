@@ -56,6 +56,8 @@ def save_hierarchy(mg: StatefulMultigridMG, path: str):
     meta["coarsest"] = {k: (int(v) if isinstance(v, (StencilType, bool))
                             else v)
                         for k, v in dataclasses.asdict(cs).items()}
+    if mg.coarsest_dinv is not None:
+        arrays["coarsest_dinv"] = np.asarray(mg.coarsest_dinv)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -130,4 +132,6 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
         mg.push_level(lat, t, ls, build_stencil=False)
         mg.stencil_list[lvl] = st
         mg.is_stencil_managed[lvl] = True
+    if "coarsest_dinv" in data:
+        mg.coarsest_dinv = jnp.asarray(data["coarsest_dinv"])
     return mg

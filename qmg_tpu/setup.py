@@ -113,6 +113,9 @@ class KCycleConfig:
     precond_coarsen_rbjacobi: bool = False
     build_extra: int = 0
     free_null_vectors: bool = False  # geometric per-spin constants (do_free)
+    # TPU-native: invert the (tiny) coarsest operator at setup and solve
+    # it with one dense matvec per K-cycle visit (stateful.py).
+    coarsest_direct: bool = False
 
 
 def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
@@ -136,8 +139,16 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
 
         if cfg.free_null_vectors:
             # Exact geometric null vectors: constant per spin component
-            # (reference n13:264-277, do_free path).
+            # (reference n13:264-277, do_free path; the reference pairs
+            # do_free with coarse_dof=2 = n_spin, n13:91-94).
             nc = lat_prev.nc
+            if cfg.coarse_dof > nc:
+                raise ValueError(
+                    f"free_null_vectors gives only {nc} independent "
+                    f"per-spin constants at level {i - 1}; coarse_dof="
+                    f"{cfg.coarse_dof} would duplicate vectors and make "
+                    "the block Gram matrix singular (reference do_free "
+                    "uses coarse_dof = n_spin, n13:91-94)")
             nv = jnp.zeros((cfg.coarse_dof,) + lat_prev.cv_shape(),
                            dtype=jnp.complex128)
             for c in range(cfg.coarse_dof):
@@ -169,4 +180,6 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
                                 else PRECOND_ORIGINAL),
             build_extra=cfg.build_extra, nvecs=raw)
         lat_prev = lat_i
+    if cfg.coarsest_direct:
+        mg.prepare_direct_coarsest()
     return mg

@@ -73,6 +73,11 @@ class CoarsestSolveMG:
     coarsest_restart_freq: int = 32
     deflate: bool = True
     normal_shift: float = 0.0
+    # TPU-native extension (no reference counterpart): solve the coarsest
+    # level with a precomputed dense inverse - one MXU matvec instead of
+    # hundreds of latency-bound tiny stencil applies per K-cycle visit.
+    # Enable via prepare_direct_coarsest().
+    direct: bool = False
 
 
 class DslashTrackerMG:
@@ -125,6 +130,7 @@ class StatefulMultigridMG(MultigridMG):
         self.dslash_tracker_list = [DslashTrackerMG()]
         self.coarsest_evals = None
         self.coarsest_evecs = None
+        self.coarsest_dinv = None
         self._solve_cache = {}
 
     # --- level management (reference :374-497) ---
@@ -132,17 +138,21 @@ class StatefulMultigridMG(MultigridMG):
         super().push_level(new_lat, new_transfer, **kw)
         self.level_solve_list.append(level_solve)
         self.dslash_tracker_list.append(DslashTrackerMG())
+        self.coarsest_dinv = None  # coarsest level changed
 
     def pop_level(self):
         super().pop_level()
         self.level_solve_list.pop()
         self.dslash_tracker_list.pop()
+        self.coarsest_dinv = None
 
     def update_level(self, level, new_lat, new_transfer, level_solve=None,
                      **kw):
         super().update_level(level, new_lat, new_transfer, **kw)
         self.level_solve_list[level - 1] = level_solve
         # Trackers are preserved (reference :490-491).
+        if level == self.get_num_levels() - 1:
+            self.coarsest_dinv = None
 
     def get_level_solve(self, i: int) -> LevelSolveMG:
         ls = self.level_solve_list[i]
@@ -225,6 +235,45 @@ class StatefulMultigridMG(MultigridMG):
         if print_evals:
             for i, v in enumerate(np.asarray(vals)):
                 print(f"[QMG-COARSEST-EVALS]: {i} {v.real}")
+
+    # --- direct coarsest solve (TPU-native; no reference counterpart) ---
+    def prepare_direct_coarsest(self):
+        """Materialize and invert the coarsest operator (for the configured
+        coarsest_stencil_app), enabling a one-matmul coarsest solve.
+
+        The coarsest level of a shipped hierarchy is tiny (e.g. 4^2 x nc8
+        = 128-dim); its iterative solve is hundreds of latency-bound ops
+        per K-cycle visit on an accelerator. A dense 128^2 inverse apply
+        is a single MXU matvec - exact, so it also improves K-cycle
+        quality over the reference's tol-0.2 CGNR."""
+        from . import eig
+        cs = self.coarsest_solve
+        st = self.get_stencil(self.get_num_levels() - 1)
+        matvec = st.get_apply_function(StencilType(cs.coarsest_stencil_app))
+        shape = st.lat.cv_shape()
+        import jax
+        dd = (jnp.complex128 if jax.config.jax_enable_x64
+              else jnp.complex64)
+        mat = np.array(eig.densify(matvec, shape, dtype=dd),
+                       np.complex128)
+        if not np.isfinite(mat).all():
+            raise ValueError(
+                "coarsest operator contains non-finite entries - the "
+                "hierarchy setup produced a degenerate coarse level "
+                "(e.g. rank-deficient null vectors)")
+        # Volume-1 coarse lattices carry a parity-1 padding slot whose
+        # rows/cols are identically zero; give padding an identity block
+        # so the inverse is well-defined (padding rhs is always zero).
+        dead = (np.abs(mat).sum(axis=1) == 0) & (np.abs(mat).sum(axis=0)
+                                                 == 0)
+        if dead.any():
+            mat[dead, dead] = 1.0
+        try:
+            dinv = np.linalg.inv(mat)
+        except np.linalg.LinAlgError:
+            dinv = np.linalg.pinv(mat)
+        self.coarsest_dinv = jnp.asarray(dinv, dd)
+        cs.direct = True
 
     # ------------------------------------------------------------------
     # The K-cycle preconditioner (reference mg_preconditioner, :734-1060).
@@ -328,7 +377,15 @@ class StatefulMultigridMG(MultigridMG):
             inner_tol = coarse_tol * rnorm / rnorm_prep
 
             # --- coarse solve (reference :885-998) ---
-            if level == n_levels - 2:
+            if (level == n_levels - 2 and self.coarsest_solve.direct
+                    and self.coarsest_dinv is not None):
+                # Direct dense solve: one matvec on the MXU.
+                dinv = self.coarsest_dinv.astype(r_coarse_prep.dtype)
+                e_coarse = (dinv @ r_coarse_prep.reshape(-1)).reshape(
+                    r_coarse_prep.shape)
+                sub_iters = jnp.int32(1)
+                sub_ops = jnp.int32(1)
+            elif level == n_levels - 2:
                 e0 = jnp.zeros_like(r_coarse_prep)
                 if (coarsest_normal and self.coarsest_solve.deflate
                         and self.coarsest_evecs is not None):
@@ -439,7 +496,8 @@ class StatefulMultigridMG(MultigridMG):
             state_ids.append(id(self.get_transfer(lvl)._nvb))
         key = (tuple(state_ids), b.shape, str(b.dtype), float(tol),
                int(max_iter), int(restart_freq), int(outer_type),
-               id(self.coarsest_evecs), bool(verbose))
+               id(self.coarsest_evecs), id(self.coarsest_dinv),
+               bool(verbose))
 
         run = self._solve_cache.get(key) if jit else None
         if run is None:

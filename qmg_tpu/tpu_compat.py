@@ -103,6 +103,8 @@ def mg_state_planes(mg):
     for lvl in range(mg.get_num_levels() - 1):
         t = mg.get_transfer(lvl)
         state[f"nvb{lvl}"] = host_to_planes(np.asarray(t._nvb))
+    if mg.coarsest_dinv is not None:
+        state["cdinv"] = host_to_planes(np.asarray(mg.coarsest_dinv))
     return state
 
 
@@ -157,13 +159,18 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             if f"hopping{lvl}" in state:
                 kw["hopping"] = from_planes(state[f"hopping{lvl}"])
             st.coeffs = st.coeffs.replace(
-                **kw, shift=st.coeffs.shift.astype(jnp.complex64))
+                **kw, shift=st.coeffs.shift.astype(jnp.complex64),
+                eo_shift=st.coeffs.eo_shift.astype(jnp.complex64),
+                dof_shift=st.coeffs.dof_shift.astype(jnp.complex64))
             st.invalidate_derived()
         saved_nvb = []
         for lvl in range(n_levels - 1):
             t = mg.get_transfer(lvl)
             saved_nvb.append((t, t._nvb))
             t._nvb = from_planes(state[f"nvb{lvl}"])
+        saved_dinv = mg.coarsest_dinv
+        if "cdinv" in state:
+            mg.coarsest_dinv = from_planes(state["cdinv"])
         try:
             b = from_planes(b_planes)
             fine_st = mg.get_stencil(0)
@@ -200,5 +207,6 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 st.apply_override = None
             for (t, nvb) in saved_nvb:
                 t._nvb = nvb
+            mg.coarsest_dinv = saved_dinv
 
     return solve_planes, state

@@ -137,6 +137,17 @@ class TransferMG:
                 nvb, rnvb, _, _ = _block_bi_orthonormalize(nvb, rnvb)
             self._restrict_nvb = rnvb
         self._nvb = nvb
+        # Rank-deficient null vectors (e.g. duplicated constants within a
+        # block) make the Gram factorization produce NaN; fail loudly at
+        # setup instead of silently degrading the coarse correction.
+        # (Skipped when tracing - setup is normally eager.)
+        import jax.core as _core
+        if not isinstance(nvb, _core.Tracer) and bool(
+                jnp.logical_not(jnp.isfinite(nvb).all())):
+            raise ValueError(
+                "block orthonormalization produced non-finite null "
+                "vectors - the per-block Gram matrix is singular (null "
+                "vectors are linearly dependent within a block)")
 
     # --- layout plumbing ---
     def _to_blocked(self, fine):

@@ -55,7 +55,7 @@ def test_deflate_requires_normal_op():
     rng = QMGRandom(1337)
     g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
     op = Wilson2D(lat0, -0.05, g)
-    cfg = KCycleConfig(n_refine=1, coarse_dof=4, free_null_vectors=True)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True)
     mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
     with pytest.raises(ValueError, match="normal op"):
         mg.deflate_coarsest(2, 0)
