@@ -38,6 +38,9 @@ def main(argv=None):
                    help="fused Pallas Dslash (default) or the jnp/XLA path")
     p.add_argument("--tile", type=int, default=32,
                    help="Pallas Y-tile rows")
+    p.add_argument("--no-direct", action="store_true",
+                   help="kcycle mode: keep the iterative coarsest solve "
+                        "instead of the dense-inverse direct one")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
     args = p.parse_args(argv)
@@ -187,7 +190,8 @@ def bench_kcycle(args):
                                 dtype=jnp.complex64)
         op = Wilson2D(lat, -0.06, gauge, dtype=jnp.complex64)
         cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
-                           nullvec_max_iter=200)
+                           nullvec_max_iter=200,
+                           coarsest_direct=not args.no_direct)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng)
         # Route the fine Dslash through the fused Pallas kernel when the
         # lattice is kernel-aligned (Xh % 128, Y % 8).

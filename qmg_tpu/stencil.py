@@ -184,7 +184,22 @@ def apply_shift(coeffs: StencilCoeffs, x):
 
 
 def apply_M(coeffs: StencilCoeffs, x):
-    """Full operator lhs = M rhs (reference apply_M, :912-936)."""
+    """Full operator lhs = M rhs (reference apply_M, :912-936).
+
+    The clover and the four hopping terms fuse into ONE stacked einsum
+    (contraction over 5*nc) - a single batched matvec instead of five,
+    which matters on the latency-bound small coarse levels. The
+    coefficient stack is built from trace-time constants, so XLA hoists
+    it out of solver loops.
+    """
+    if coeffs.hopping is not None and coeffs.lat.volume > 1:
+        nbrs = [cshift_pull(x, d) for d in ALL_DIRS]
+        mats = coeffs.hopping
+        if coeffs.clover is not None:
+            nbrs = [x] + nbrs
+            mats = jnp.concatenate([coeffs.clover[None], coeffs.hopping])
+        out = jnp.einsum("s...ij,s...j->...i", mats, jnp.stack(nbrs))
+        return out + apply_shift(coeffs, x)
     out = apply_clover(coeffs, x)
     out = out + apply_hopping(coeffs, x)
     out = out + apply_shift(coeffs, x)
