@@ -34,8 +34,10 @@ def main(argv=None):
     p.add_argument("--iters", type=int, default=100)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["dslash", "kcycle"], default="dslash")
-    p.add_argument("--kernel", choices=["pallas", "xla"], default="pallas",
-                   help="fused Pallas Dslash (default) or the jnp/XLA path")
+    p.add_argument("--kernel", choices=["phase", "pallas", "xla"],
+                   default="phase",
+                   help="phase-streaming Wilson kernel (default), generic "
+                        "matrix Pallas kernel, or the jnp/XLA path")
     p.add_argument("--tile", type=int, default=32,
                    help="Pallas Y-tile rows")
     p.add_argument("--no-direct", action="store_true",
@@ -80,10 +82,49 @@ def main_with_args(args):
 
     n_iters = args.iters
 
-    if args.kernel == "pallas":
+    def _fallback(e):
+        fallback = "pallas" if args.kernel == "phase" else "xla"
+        print(f"# {args.kernel} kernel unavailable ({type(e).__name__}: "
+              f"{e}); falling back to the {fallback} path", file=sys.stderr)
+        args.kernel = fallback
+        return main_with_args(args)
+
+    if args.kernel == "phase":
+        # Wilson-specialized kernel: streams only the 4 U(1) phases per
+        # site (the spin projectors are compile-time constants), cutting
+        # HBM traffic from 192 to 64 B/site (pallas_wilson.py). The
+        # effective-bandwidth metric keeps the generic-formulation
+        # definition (192 B/site x sites/s), so values above the HBM
+        # roofline mean the specialization beats the matrix kernel's
+        # speed-of-light.
+        from qmg_tpu.pallas_wilson import make_pallas_wilson_shaped
+        try:
+            apply_fn = make_pallas_wilson_shaped(lat.y_len, lat.xh, 1.0,
+                                                 mass, tile=args.tile)
+        except ValueError as e:
+            return _fallback(e)
+        u_half = -hopping[..., 0, 0]                 # 0.5 * U_d_eff
+        ppl = np.stack([u_half.real, u_half.imag], axis=2).astype(
+            np.float32)
+        xpl = np.moveaxis(x_p, 3, 1)
+        xpl = np.moveaxis(xpl, 4, 2).astype(np.float32)
+
+        @jax.jit
+        def chain(ppl, xpl):
+            def body(_, v):
+                y = apply_fn(ppl, v)
+                return y / jnp.sqrt(jnp.sum(y * y))
+            out = jax.lax.fori_loop(0, n_iters, body, xpl)
+            return jnp.sum(jnp.abs(out))
+
+        dev_args = [jax.device_put(a) for a in (ppl, xpl)]
+    elif args.kernel == "pallas":
         from qmg_tpu.pallas_dslash import make_pallas_dslash_shaped
-        apply_fn = make_pallas_dslash_shaped(lat.nc, lat.y_len, lat.xh,
-                                             tile=args.tile)
+        try:
+            apply_fn = make_pallas_dslash_shaped(lat.nc, lat.y_len, lat.xh,
+                                                 tile=args.tile)
+        except ValueError as e:
+            return _fallback(e)
         # Channel planes on host: fold the mass into the clover diagonal.
         clover_m = clover.copy()
         clover_m[..., 0, 0] += mass
@@ -126,11 +167,8 @@ def main_with_args(args):
         for _ in range(args.warmup):
             float(chain(*dev_args))
     except Exception as e:  # pragma: no cover - robustness for the driver
-        if args.kernel == "pallas":
-            print(f"# pallas kernel failed ({type(e).__name__}); falling "
-                  "back to the XLA path", file=sys.stderr)
-            args.kernel = "xla"
-            return main_with_args(args)
+        if args.kernel in ("phase", "pallas"):
+            return _fallback(e)
         raise
     t0 = time.perf_counter()
     checksum = float(chain(*dev_args))

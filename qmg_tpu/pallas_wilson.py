@@ -1,0 +1,236 @@
+"""Wilson-specialized fused Dslash: stream gauge phases, not matrices.
+
+The generic kernel (pallas_dslash.py) streams full nc x nc hopping
+matrices - 128 B/site for Wilson - because a coarse operator's
+coefficients are dense. But the fine Wilson operator factorizes
+(reference operators/wilson.h:179-209): every hopping matrix is a
+CONSTANT 2x2 spin projector times a per-site/direction U(1) phase,
+
+    H_d(site) = 0.5 [[-w, s_d], [s_d', -w]] * U_d(site),
+    s in {+-1, -+i},
+
+and the clover + mass is the uniform scalar (2w + m) * identity. So the
+speed-of-light traffic for a Wilson apply is only
+
+    4 phases (32 B) + x read (16 B) + out write (16 B) = 64 B/site,
+
+one third of the matrix kernel's 192 B/site. The spin algebra happens
+in-register on the VPU: one complex multiply by the (pre-halved) phase
+per direction and spin, then sign/swap combines for the projector.
+
+Layouts match pallas_dslash: x planes (2p, 2spin, 2ri, Y, Xh); phase
+planes (4d, 2p, 2ri, Y, Xh) carrying 0.5 * U_d (the 0.5 of the
+projector is folded in at channel-build time). The wilson parameter w
+and the mass are static (they are compile-time scalars of the
+operator, not fields).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .lattice import DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
+from .stencil import StencilCoeffs
+
+
+def wilson_phases_from_coeffs(coeffs: StencilCoeffs, w: float = 1.0):
+    """Recover the per-direction phase planes (0.5 * U_d_eff) from built
+    Wilson hopping matrices: H_d[0,0] = -0.5 w U_d, so U_d/2 = -H_d[0,0]/w.
+    Returns (4, 2, 2, Y, Xh) f32 planes."""
+    u_half = -coeffs.hopping[..., 0, 0].astype(jnp.complex64) / w
+    return jnp.stack([jnp.real(u_half), jnp.imag(u_half)], axis=2)
+
+
+def _wilson_kernel(tile: int, y_len: int, w: float, alpha: float,
+                   double_buffer: bool,
+                   x_hbm, phase_ref, out_ref, xwin, sems):
+    """One Y-tile. phase_ref: (4, 2, 2, T, Xh) VMEM block of 0.5*U_d;
+    x window/sems identical to pallas_dslash._dslash_kernel."""
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def window_dmas(slot, tile_idx):
+        y0 = tile_idx * tile
+        dn_start = pl.multiple_of((y0 - 8) % y_len, 8)
+        body_start = pl.multiple_of(y0 % y_len, 8)
+        up_start = pl.multiple_of((y0 + tile) % y_len, 8)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, pl.ds(dn_start, 8), :],
+                xwin.at[slot, :, :, :, pl.ds(0, 8), :], sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, pl.ds(body_start, tile), :],
+                xwin.at[slot, :, :, :, pl.ds(8, tile), :],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, pl.ds(up_start, 8), :],
+                xwin.at[slot, :, :, :, pl.ds(8 + tile, 8), :],
+                sems.at[slot, 2]),
+        )
+
+    if double_buffer:
+        slot = t % 2
+        next_slot = (t + 1) % 2
+
+        @pl.when(t == 0)
+        def _():
+            for dma in window_dmas(0, 0):
+                dma.start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            for dma in window_dmas(next_slot, t + 1):
+                dma.start()
+
+        for dma in window_dmas(slot, t):
+            dma.wait()
+        xwin = xwin.at[slot]
+    else:
+        for dma in window_dmas(0, t):
+            dma.start()
+        for dma in window_dmas(0, t):
+            dma.wait()
+        xwin = xwin.at[0]
+
+    xh_len = out_ref.shape[-1]
+    y0 = t * tile
+    rows = y0 + jax.lax.broadcasted_iota(jnp.int32, (tile, xh_len), 0)
+    row_par = rows % 2
+
+    for q in (0, 1):
+        p = 1 - q
+        direct = (row_par == q)
+
+        # Pulled neighbor spinors per direction: [(spin0_re, spin0_im,
+        # spin1_re, spin1_im) x 4 dirs], same shift scheme as the generic
+        # kernel (sublane-offset rows for +-y, lane roll + row-parity
+        # select for +-x).
+        nbr = {}
+        for d in (DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1):
+            nbr[d] = []
+        for s in (0, 1):
+            same_re = xwin[p, s, 0, 8:tile + 8, :]
+            same_im = xwin[p, s, 1, 8:tile + 8, :]
+            up_re = xwin[p, s, 0, 9:tile + 9, :]
+            up_im = xwin[p, s, 1, 9:tile + 9, :]
+            dn_re = xwin[p, s, 0, 7:tile + 7, :]
+            dn_im = xwin[p, s, 1, 7:tile + 7, :]
+            rolm_re = pltpu.roll(same_re, xh_len - 1, 1)
+            rolm_im = pltpu.roll(same_im, xh_len - 1, 1)
+            rolp_re = pltpu.roll(same_re, 1, 1)
+            rolp_im = pltpu.roll(same_im, 1, 1)
+            nbr[DIR_XP1].append((jnp.where(direct, same_re, rolm_re),
+                                 jnp.where(direct, same_im, rolm_im)))
+            nbr[DIR_XM1].append((jnp.where(direct, rolp_re, same_re),
+                                 jnp.where(direct, rolp_im, same_im)))
+            nbr[DIR_YP1].append((up_re, up_im))
+            nbr[DIR_YM1].append((dn_re, dn_im))
+
+        # Clover + mass: alpha * x.
+        acc = [[alpha * xwin[q, s, c, 8:tile + 8, :] for c in (0, 1)]
+               for s in (0, 1)]
+
+        for d in (DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1):
+            ur = phase_ref[d, q, 0]
+            ui = phase_ref[d, q, 1]
+            # t_s = (0.5 U_d) * v_s per spin.
+            ts = []
+            for (vr, vi) in nbr[d]:
+                ts.append((ur * vr - ui * vi, ur * vi + ui * vr))
+            (t0r, t0i), (t1r, t1i) = ts
+            # Diagonal: -w * t_s on both spins.
+            if w == 1.0:
+                acc[0][0] -= t0r
+                acc[0][1] -= t0i
+                acc[1][0] -= t1r
+                acc[1][1] -= t1i
+            else:
+                acc[0][0] -= w * t0r
+                acc[0][1] -= w * t0i
+                acc[1][0] -= w * t1r
+                acc[1][1] -= w * t1i
+            # Off-diagonal projector couplings.
+            if d == DIR_XP1:       # [[., +1], [+1, .]]
+                acc[0][0] += t1r
+                acc[0][1] += t1i
+                acc[1][0] += t0r
+                acc[1][1] += t0i
+            elif d == DIR_XM1:     # [[., -1], [-1, .]]
+                acc[0][0] -= t1r
+                acc[0][1] -= t1i
+                acc[1][0] -= t0r
+                acc[1][1] -= t0i
+            elif d == DIR_YP1:     # [[., -i], [+i, .]]
+                acc[0][0] += t1i   # -i*t1: re=+im, im=-re
+                acc[0][1] -= t1r
+                acc[1][0] -= t0i   # +i*t0: re=-im, im=+re
+                acc[1][1] += t0r
+            else:                  # DIR_YM1: [[., +i], [-i, .]]
+                acc[0][0] -= t1i
+                acc[0][1] += t1r
+                acc[1][0] += t0i
+                acc[1][1] -= t0r
+
+        for s in (0, 1):
+            out_ref[q, s, 0] = acc[s][0]
+            out_ref[q, s, 1] = acc[s][1]
+
+
+def make_pallas_wilson_shaped(y_len: int, xh: int, w: float, mass: float,
+                              tile: int = 32, interpret: bool = False,
+                              double_buffer: bool = True):
+    """Shape-only factory for the phase-streaming Wilson Dslash.
+    Returns apply_fn(phase_planes, x_planes) -> out_planes."""
+    n_slots = 2 if double_buffer else 1
+
+    def vmem_bytes(t):
+        per_row = xh * 4
+        phases = 4 * 2 * 2 * t * per_row * 2
+        out = 2 * 2 * 2 * t * per_row * 2
+        xwin = n_slots * 2 * 2 * 2 * (t + 16) * per_row
+        return phases + out + xwin
+
+    while tile > 8 and vmem_bytes(tile) > 11 * 1024 * 1024:
+        tile -= 8
+    if y_len % tile:
+        tile = int(np.gcd(tile, y_len))
+    if y_len % 8 or tile % 8:
+        raise ValueError(
+            f"pallas wilson needs Y and tile multiples of 8; got "
+            f"Y={y_len}, tile={tile}")
+    if not interpret and xh % 128:
+        raise ValueError(
+            f"pallas wilson needs Xh (= X/2) a multiple of 128 lanes; "
+            f"got Xh={xh}")
+    grid = (y_len // tile,)
+    alpha = 2.0 * w + mass
+    kernel = functools.partial(_wilson_kernel, tile, y_len, float(w),
+                               float(alpha), double_buffer)
+
+    def apply_fn(phase_pl, x_pl):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM
+                pl.BlockSpec((4, 2, 2, tile, xh),
+                             lambda t: (0, 0, 0, t, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, 2, 2, tile, xh),
+                                   lambda t: (0, 0, 0, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, 2, 2, y_len, xh),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, 2, 2, 2, tile + 16, xh), jnp.float32),
+                pltpu.SemaphoreType.DMA((n_slots, 3)),
+            ],
+            interpret=interpret,
+        )(x_pl, phase_pl)
+
+    return apply_fn

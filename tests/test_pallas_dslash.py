@@ -67,3 +67,23 @@ def test_pallas_bf16_coefficients():
     # bf16 has ~3 decimal digits; per-site sums of 10 terms -> ~1e-2 rel.
     scale = np.max(np.abs(expect))
     np.testing.assert_allclose(got, expect, atol=3e-2 * scale)
+
+
+def test_pallas_wilson_phase_streaming():
+    """Wilson-specialized kernel (stream 4 U(1) phases, constant spin
+    projectors in-register) matches apply_M (pallas_wilson.py)."""
+    from qmg_tpu.pallas_wilson import (make_pallas_wilson_shaped,
+                                       wilson_phases_from_coeffs)
+    L = 16
+    rng = QMGRandom(1337)
+    lat = Lattice2D(L, L, 2)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    for mass, w in ((-0.07, 1.0), (0.1, 1.3)):
+        op = Wilson2D(lat, mass, g, wilson_coeff=w, dtype=jnp.complex64)
+        x = jnp.asarray(rng.gaussian_cv(lat), dtype=jnp.complex64)
+        expect = np.asarray(apply_M(op.coeffs, x))
+        ph = wilson_phases_from_coeffs(op.coeffs, w=w)
+        fn = make_pallas_wilson_shaped(L, lat.xh, w, mass, tile=8,
+                                       interpret=True)
+        got = np.asarray(x_from_planes(fn(ph, x_to_planes(x))))
+        np.testing.assert_allclose(got, expect, atol=5e-5)
