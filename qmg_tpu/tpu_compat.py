@@ -111,7 +111,8 @@ def mg_state_planes(mg):
 def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        use_pallas_fine: bool = False, pallas_tile: int = 16,
                        pallas_interpret: bool = False,
-                       pallas_coeff_dtype=None):
+                       pallas_coeff_dtype=None,
+                       pallas_kind: str = "matrix"):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
@@ -138,13 +139,36 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                          "(reduced-precision coefficients only exist on the "
                          "Pallas kernel path)")
     pallas_apply = None
+    wilson_w = 1.0
     if use_pallas_fine:
-        from .pallas_dslash import make_pallas_dslash_shaped
         lat0 = mg.get_lattice(0)
-        pallas_apply = make_pallas_dslash_shaped(
-            lat0.nc, lat0.y_len, lat0.xh, tile=pallas_tile,
-            interpret=pallas_interpret,
-            coeff_dtype=pallas_coeff_dtype or jnp.float32)
+        if pallas_kind == "wilson-phase":
+            # Wilson-specialized phase-streaming kernel (pallas_wilson.py):
+            # the spin projectors are compile-time constants; only the 4
+            # U(1) phases stream, derived from the hopping matrices at
+            # trace time.
+            if pallas_coeff_dtype is not None:
+                raise ValueError("pallas_coeff_dtype applies to the "
+                                 "matrix kernel (pallas_kind='matrix')")
+            if lat0.nc != 2:
+                raise ValueError("pallas_kind='wilson-phase' needs the "
+                                 "fine operator to be Wilson (nc=2)")
+            from .pallas_wilson import make_pallas_wilson_shaped
+            wilson_w = float(getattr(mg.get_stencil(0), "wilson_coeff",
+                                     1.0))
+            mass0 = float(np.real(np.asarray(
+                mg.get_stencil(0).coeffs.shift)))
+            pallas_apply = make_pallas_wilson_shaped(
+                lat0.y_len, lat0.xh, wilson_w, mass0, tile=pallas_tile,
+                interpret=pallas_interpret)
+        elif pallas_kind == "matrix":
+            from .pallas_dslash import make_pallas_dslash_shaped
+            pallas_apply = make_pallas_dslash_shaped(
+                lat0.nc, lat0.y_len, lat0.xh, tile=pallas_tile,
+                interpret=pallas_interpret,
+                coeff_dtype=pallas_coeff_dtype or jnp.float32)
+        else:
+            raise ValueError(f"unknown pallas_kind {pallas_kind!r}")
 
     def solve_planes(state, b_planes):
         # Patch decoded complex arrays into the hierarchy for tracing.
@@ -180,7 +204,16 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             # a reduced-precision fine apply is only legitimate inside the
             # preconditioner, where flexible GCR absorbs the error.
             matvec = lambda v: _apply_M(fine_coeffs, v)
-            if pallas_apply is not None:
+            if pallas_apply is not None and pallas_kind == "wilson-phase":
+                from .pallas_dslash import x_to_planes, x_from_planes
+                u_half = (-fine_st.coeffs.hopping[..., 0, 0]
+                          .astype(jnp.complex64) / wilson_w)
+                ph = jnp.stack([jnp.real(u_half), jnp.imag(u_half)],
+                               axis=2)
+                fine_st.apply_override = (
+                    lambda v: x_from_planes(pallas_apply(
+                        ph, x_to_planes(v))).astype(v.dtype))
+            elif pallas_apply is not None:
                 from .pallas_dslash import (_channels_from_coeffs,
                                             x_to_planes, x_from_planes)
                 # Channel planes computed once per solve (traced outside
