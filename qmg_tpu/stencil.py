@@ -35,6 +35,27 @@ import jax.numpy as jnp
 from .lattice import Lattice2D, DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
 from .cshift import cshift_pull, cshift_pull_half, ALL_DIRS
 from . import linalg
+import contextlib
+
+
+@contextlib.contextmanager
+def _compile_time_eval_on_host():
+    """ensure_compile_time_eval pinned to the CPU device.
+
+    Lazy derived-stencil builds may trigger inside a jit trace; eager
+    side-computations (iota masks, shift scalars) must not land on the
+    axon TPU, whose arrays cannot be embedded as jit constants
+    (transfers fail UNIMPLEMENTED). Traced inputs still trace normally.
+    """
+    with contextlib.ExitStack() as stack:
+        stack.enter_context(jax.ensure_compile_time_eval())
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is not None:
+            stack.enter_context(jax.default_device(cpu))
+        yield
 
 # Opposite direction map: +x<->-x, +y<->-y.
 OPPOSITE_DIR = {DIR_XP1: DIR_XM1, DIR_XM1: DIR_XP1,
@@ -459,27 +480,34 @@ class Stencil2D:
             # ensure_compile_time_eval: lazy builds may be triggered inside
             # a jit trace (omnistaging would otherwise stage the build and
             # leak tracers into this cache); the coefficients are concrete.
-            with jax.ensure_compile_time_eval():
+            with _compile_time_eval_on_host():
                 self._dagger = build_dagger(self.coeffs)
         return self._dagger
 
     def build_rbjacobi_stencil(self) -> RBJacobiSet:
         if self._rbjacobi is None:
+            def _zero(v):
+                # Traced shifts (planes-solver patching) can't be compared
+                # concretely; treat them as potentially nonzero.
+                try:
+                    return complex(v) == 0
+                except Exception:
+                    return False
             if (self.coeffs.clover is None
-                    and complex(self.coeffs.shift) == 0
-                    and complex(self.coeffs.eo_shift) == 0
-                    and complex(self.coeffs.dof_shift) == 0):
+                    and _zero(self.coeffs.shift)
+                    and _zero(self.coeffs.eo_shift)
+                    and _zero(self.coeffs.dof_shift)):
                 raise ValueError(
                     "rbjacobi requires a clover term or shift "
                     "(reference stencil_2d.h:1471-1475)")
-            with jax.ensure_compile_time_eval():
+            with _compile_time_eval_on_host():
                 self._rbjacobi = build_rbjacobi(self.coeffs)
         return self._rbjacobi
 
     def build_rbj_dagger_stencil(self) -> RBJacobiSet:
         if self._rbj_dagger is None:
             rbj = self.build_rbjacobi_stencil()
-            with jax.ensure_compile_time_eval():
+            with _compile_time_eval_on_host():
                 self._rbj_dagger = build_rbj_dagger(rbj)
         return self._rbj_dagger
 

@@ -100,6 +100,9 @@ def mg_state_planes(mg):
             state[f"clover{lvl}"] = host_to_planes(np.asarray(c.clover))
         if c.hopping is not None:
             state[f"hopping{lvl}"] = host_to_planes(np.asarray(c.hopping))
+        state[f"shifts{lvl}"] = host_to_planes(np.asarray(
+            [complex(c.shift), complex(c.eo_shift), complex(c.dof_shift)],
+            np.complex64))
     for lvl in range(mg.get_num_levels() - 1):
         t = mg.get_transfer(lvl)
         state[f"nvb{lvl}"] = host_to_planes(np.asarray(t._nvb))
@@ -112,13 +115,17 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        use_pallas_fine: bool = False, pallas_tile: int = 16,
                        pallas_interpret: bool = False,
                        pallas_coeff_dtype=None,
-                       pallas_kind: str = "matrix"):
+                       pallas_kind: str = "matrix",
+                       outer_type=None):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
     The hierarchy's complex state is swapped in from the plane encoding at
     trace time (one decode pass per solve - negligible vs the Krylov
     work), so the same StatefulMultigridMG drives CPU fp64 and TPU c64.
+    ``outer_type`` selects the outer operator (e.g. RIGHT_SCHUR for the
+    n19 configuration); prepare_M/reconstruct_M run inside the jit, so
+    callers still pass the plain rhs planes and get full-space x planes.
     On the TPU backend, wrap the returned function in ``jax.jit`` -
     complex64 is only supported inside jit, so eager execution fails
     with an opaque UNIMPLEMENTED error.
@@ -171,6 +178,17 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             raise ValueError(f"unknown pallas_kind {pallas_kind!r}")
 
     def solve_planes(state, b_planes):
+        # TPU matmuls default to reduced-precision bf16 passes, which
+        # silently costs ~3 digits through the rbjacobi QR / B^-1 chains
+        # (measured: true residual 9e-3 vs 2.6e-6 at identical speed -
+        # the K-cycle is latency-bound, not matmul-bound). Pin full f32.
+        import contextlib
+        prec = jax.default_matmul_precision("highest")
+        with contextlib.ExitStack() as _stack:
+            _stack.enter_context(prec)
+            return _solve_impl(state, b_planes)
+
+    def _solve_impl(state, b_planes):
         # Patch decoded complex arrays into the hierarchy for tracing.
         saved = []
         for lvl in range(n_levels):
@@ -182,10 +200,13 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 kw["clover"] = from_planes(state[f"clover{lvl}"])
             if f"hopping{lvl}" in state:
                 kw["hopping"] = from_planes(state[f"hopping{lvl}"])
+            # Shifts ride the planes state too: a concrete scalar would
+            # make derived builds (rbjacobi QR etc.) evaluate eagerly at
+            # trace time and embed complex constants the axon backend
+            # cannot transfer.
+            sh = from_planes(state[f"shifts{lvl}"])
             st.coeffs = st.coeffs.replace(
-                **kw, shift=st.coeffs.shift.astype(jnp.complex64),
-                eo_shift=st.coeffs.eo_shift.astype(jnp.complex64),
-                dof_shift=st.coeffs.dof_shift.astype(jnp.complex64))
+                **kw, shift=sh[0], eo_shift=sh[1], dof_shift=sh[2])
             st.invalidate_derived()
         saved_nvb = []
         for lvl in range(n_levels - 1):
@@ -200,10 +221,16 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             fine_st = mg.get_stencil(0)
             from .stencil import apply_M as _apply_M
             fine_coeffs = fine_st.coeffs
-            # The OUTER matvec stays exact (bypasses any kernel override):
-            # a reduced-precision fine apply is only legitimate inside the
-            # preconditioner, where flexible GCR absorbs the error.
-            matvec = lambda v: _apply_M(fine_coeffs, v)
+            otype = (StencilType.ORIGINAL if outer_type is None
+                     else StencilType(outer_type))
+            if otype == StencilType.ORIGINAL:
+                # The OUTER matvec stays exact (bypasses any kernel
+                # override): a reduced-precision fine apply is only
+                # legitimate inside the preconditioner, where flexible
+                # GCR absorbs the error.
+                matvec = lambda v: _apply_M(fine_coeffs, v)
+            else:
+                matvec = lambda v: fine_st.apply_M(v, otype)
             if pallas_apply is not None and pallas_kind == "wilson-phase":
                 from .pallas_dslash import x_to_planes, x_from_planes
                 u_half = (-fine_st.coeffs.hopping[..., 0, 0]
@@ -228,10 +255,14 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             precond = mg.make_preconditioner(0)
             carry = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
                      "iters": jnp.zeros((n_levels,), jnp.int32)}
+            rhs = (b if otype == StencilType.ORIGINAL
+                   else fine_st.prepare_M(b, otype))
             res, carry = solvers.gcr_var_precond_restart(
-                matvec, b, precond, max_iter=max_iter, tol=tol,
+                matvec, rhs, precond, max_iter=max_iter, tol=tol,
                 restart_freq=restart_freq, precond_carry=carry)
-            return (to_planes(res.x), res.iters,
+            x = (res.x if otype == StencilType.ORIGINAL
+                 else fine_st.reconstruct_M(res.x, b, otype))
+            return (to_planes(x), res.iters,
                     jnp.real(res.res_sq).astype(jnp.float32))
         finally:
             for (st, coeffs, dag, rbj, rbjd) in saved:

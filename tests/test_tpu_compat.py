@@ -140,3 +140,28 @@ def test_planes_solver_wilson_phase_kernel_interpret():
         make_planes_solver(mg, use_pallas_fine=True,
                            pallas_kind="wilson-phase",
                            pallas_coeff_dtype=jnp.bfloat16)
+
+
+def test_planes_solver_schur_outer():
+    """outer_type=RIGHT_SCHUR (n19 config) through the planes boundary:
+    prepare/reconstruct run inside the jit, full-space x comes back."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.stencil import StencilType
+    ST = StencilType.RIGHT_SCHUR
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0), jnp.complex64)
+    op = Wilson2D(lat, -0.05, g, dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, nullvec_max_iter=150,
+                       nullvec_tol=5e-4, fine_stencil_app=ST,
+                       coarsest_stencil_app=ST,
+                       precond_coarsen_rbjacobi=True, build_extra=2)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = np.asarray(rng.gaussian_cv(lat))
+    sp, st = make_planes_solver(mg, tol=1e-5, max_iter=40, outer_type=ST)
+    x_p, iters, res_sq = sp(st, host_to_planes(b))
+    x = from_planes(x_p)
+    from qmg_tpu.linalg import norm2sq
+    bj = jnp.asarray(b, jnp.complex64)
+    resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
+    assert resid < 1e-4, f"resid {resid}"
