@@ -375,11 +375,30 @@ def minres(matvec, b, x0=None, max_iter: int = 2, tol=1e-15,
     def body(s):
         x, r, rsq, k, ops = s
         ar = matvec(r)
-        alpha = vdot(ar, r) / norm2sq(ar)
+        # Guarded against r == 0 exactly (the unrolled path runs the
+        # body unconditionally; the while_loop would have skipped).
+        arsq = norm2sq(ar)
+        alpha = jnp.where(arsq > 0,
+                          vdot(ar, r) / jnp.where(arsq > 0, arsq, 1.0),
+                          0.0)
         x = x + omega * alpha * r
         r = r - omega * alpha * ar
         return (x, r, norm2sq(r), k + 1, ops + 1)
 
+    try:
+        _tol_f = float(jnp.real(tol))
+    except Exception:  # traced tolerance: not a fixed-iteration smoother
+        _tol_f = None
+    if max_iter <= 4 and _tol_f is not None and _tol_f <= 1e-14:
+        # Fixed-iteration smoother (the K-cycle's MinRes(2) with a
+        # never-met tolerance): unroll instead of a while_loop - the
+        # loop machinery costs real latency on the small coarse levels,
+        # where a K-cycle runs thousands of these.
+        s = (x0, r0, norm2sq(r0), _i32(0), _i32(1))
+        for _ in range(max_iter):
+            s = body(s)
+        x, r, rsq, k, ops = s
+        return SolveResult(x, k, rsq, rsq <= target, ops)
     x, r, rsq, k, ops = jax.lax.while_loop(
         cond, body, (x0, r0, norm2sq(r0), _i32(0), _i32(1)))
     return SolveResult(x, k, rsq, rsq <= target, ops)
