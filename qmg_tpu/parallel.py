@@ -87,3 +87,77 @@ def shardable_dims(lat, mesh: Mesh) -> bool:
     """Whether (Y, Xh) divide the mesh shape."""
     my, mx = mesh.devices.shape
     return lat.y_len % my == 0 and lat.xh % mx == 0
+
+
+def validate_mg_sharding(mg, mesh: Mesh, level: int = 0) -> None:
+    """Check that the MG hierarchy can shard at ``level`` over ``mesh``:
+    the lattice tiles the mesh with even local row count (so global row
+    parity equals local row parity), and the transfer's aggregation
+    blocks align with shard boundaries — every shard holds whole blocks
+    (SURVEY.md hard part #2: 4x4 blocks and eo parity must tile the
+    shard grid). Raises ValueError otherwise.
+    """
+    lat = mg.get_lattice(level)
+    my, mx = mesh.devices.shape
+    if lat.y_len % my or lat.xh % mx:
+        raise ValueError(
+            f"level-{level} lattice ({lat.y_len}, {lat.xh}) does not tile "
+            f"the mesh {mesh.devices.shape}")
+    if (lat.y_len // my) % 2:
+        raise ValueError("Y_loc must be even so local row parity equals "
+                         "global row parity")
+    if level < mg.get_num_levels() - 1:
+        coarse = mg.get_lattice(level + 1)
+        by = lat.y_len // coarse.y_len
+        bx = lat.x_len // coarse.x_len
+        if bx % 2:
+            raise ValueError(
+                f"x blocking {bx} must be even: an odd block splits the "
+                "eo-packed x axis across parities")
+        y_loc, xh_loc = lat.y_len // my, lat.xh // mx
+        if y_loc % by or xh_loc % (bx // 2):
+            raise ValueError(
+                f"MG blocking ({by} x {bx}) does not align with the shard "
+                f"grid: local extents ({y_loc}, {xh_loc}) must hold whole "
+                "blocks so restrict/prolong stay shard-local")
+
+
+def replication_crossover(mg, mesh: Mesh) -> int:
+    """First level whose lattice no longer tiles the mesh — from there
+    down, levels replicate (the gather-to-replicated crossover mirroring
+    the reference's tiny coarsest lattices, SURVEY.md §2.10)."""
+    my, mx = mesh.devices.shape
+    for lvl in range(mg.get_num_levels()):
+        lat = mg.get_lattice(lvl)
+        if (lat.y_len % my or lat.xh % mx or (lat.y_len // my) % 2):
+            return lvl
+    return mg.get_num_levels()
+
+
+def replicate_coarse_levels(mg, mesh: Mesh, from_level: int = 1) -> None:
+    """Explicitly replicate every level >= ``from_level`` on the mesh:
+    coarse stencil coefficients, transfer null-vector tensors, and the
+    direct-coarsest inverse. Coarse lattices shrink below the shard grid;
+    pinning them replicated keeps XLA's partitioner from inventing
+    layouts and makes the crossover explicit."""
+    rep = NamedSharding(mesh, P())
+    for lvl in range(from_level, mg.get_num_levels()):
+        st = mg.get_stencil(lvl)
+        if st is None:
+            continue
+        kw = {}
+        if st.coeffs.clover is not None:
+            kw["clover"] = jax.device_put(st.coeffs.clover, rep)
+        if st.coeffs.hopping is not None:
+            kw["hopping"] = jax.device_put(st.coeffs.hopping, rep)
+        if kw:
+            st.coeffs = st.coeffs.replace(**kw)
+            st.invalidate_derived()
+    for lvl in range(max(0, from_level - 1), mg.get_num_levels() - 1):
+        t = mg.get_transfer(lvl)
+        t._nvb = jax.device_put(t._nvb, rep)
+        if t._restrict_nvb is not None:
+            t._restrict_nvb = jax.device_put(t._restrict_nvb, rep)
+    dinv = getattr(mg, "coarsest_dinv", None)
+    if dinv is not None:
+        mg.coarsest_dinv = jax.device_put(dinv, rep)
