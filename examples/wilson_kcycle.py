@@ -39,6 +39,15 @@ def main():
     p.add_argument("--tol", type=float, default=1e-10)
     p.add_argument("--cpu", action="store_true",
                    help="force CPU + float64 (numerics parity mode)")
+    p.add_argument("--spectrum", action="store_true",
+                   help="print the full fine + coarsened spectra "
+                        "(reference n13 do_spectrum, wilson_kcycle.cpp:"
+                        "482-522)")
+    p.add_argument("--colinear", action="store_true",
+                   help="per-eigenvector colinearity checks "
+                        "||(1-PP^t)v|| and ||(1-P A_c^-1 P^t A)v|| "
+                        "(reference n13 do_colinear, wilson_kcycle.cpp:"
+                        "524-615)")
     args = p.parse_args()
 
     import jax
@@ -113,6 +122,46 @@ def main():
           + " ".join(f"{v:.2f}" for v in mg.query_average_iterations()))
     print(f"[QMG-FLOPS]: ~{total_flops/1e9:.2f} GFLOP of operator applies"
           f" ({total_flops/dt/1e9:.1f} GFLOP/s over the solve)")
+
+    if args.spectrum:
+        # Full spectra of the fine and coarsened operators, smallest real
+        # part first (reference n13:482-522, [ORIG-SPECTRUM] /
+        # [COARSE-SPECTRUM] tags).
+        from qmg_tpu import eig
+        for lvl, tag in ((0, "ORIG-SPECTRUM"), (1, "COARSE-SPECTRUM")):
+            st = mg.get_stencil(lvl)
+            evals, _ = eig.dense_eigensystem(st.get_apply_function(),
+                                             st.lat.cv_shape())
+            for i, ev in enumerate(evals):
+                print(f"[{tag}]: {i} {ev.real} + I {ev.imag}")
+
+    if args.colinear:
+        # Local colinearity of the fine eigenvectors with the coarse
+        # space (reference n13:524-615): for each fine eigenvector v
+        # (smallest magnitude first), report ||(1 - P P^dag) v|| and
+        # ||(1 - P A_c^{-1} P^dag A) v|| relative to ||v||.
+        from qmg_tpu import eig
+        st0, st1 = mg.get_stencil(0), mg.get_stencil(1)
+        transfer = mg.get_transfer(0)
+        evals, evecs = eig.dense_eigensystem(st0.get_apply_function(),
+                                             st0.lat.cv_shape())
+        order = np.argsort(np.abs(evals))
+        evals, evecs = evals[order], evecs[order]
+        coarse_mv = st1.get_apply_function()
+        for i in range(evecs.shape[0]):
+            v = jnp.asarray(evecs[i])
+            nv = float(jnp.sqrt(norm2sq(v)))
+            pdag_v = transfer.restrict_f2c(v)
+            one_pp = float(jnp.sqrt(
+                norm2sq(v - transfer.prolong_c2f(pdag_v)))) / nv
+            pdag_av = transfer.restrict_f2c(st0.apply_M(v))
+            inv = solvers.bicgstab_l(coarse_mv, pdag_av, max_iter=1000,
+                                     tol=1e-10, l=6)
+            one_papa = float(jnp.sqrt(
+                norm2sq(v - transfer.prolong_c2f(inv.x)))) / nv
+            print(f"[QMG-OVERLAP]: {i} {evals[i].real} + I "
+                  f"{evals[i].imag} {abs(evals[i])} | {one_pp} | "
+                  f"{one_papa}")
 
 
 if __name__ == "__main__":

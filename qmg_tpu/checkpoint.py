@@ -22,7 +22,7 @@ from .transfer import TransferMG, DoublingType
 from .stateful import StatefulMultigridMG, LevelSolveMG, CoarsestSolveMG
 from .operators.coarse import CoarseOperator2D
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def save_hierarchy(mg: StatefulMultigridMG, path: str):
@@ -47,6 +47,15 @@ def save_hierarchy(mg: StatefulMultigridMG, path: str):
     for lvl in range(mg.get_num_levels() - 1):
         t = mg.get_transfer(lvl)
         arrays[f"nvb{lvl}"] = np.asarray(t._nvb)
+        # Asymmetric restrict vectors and saved block decompositions
+        # (needed by CoarseOperator2D.apply_coarse_sigma) round-trip too;
+        # absent pieces simply aren't written.
+        for name, val in (("rnvb", t._restrict_nvb),
+                          ("chol", t.block_cholesky),
+                          ("blockL", t.block_L),
+                          ("blockU", t.block_U)):
+            if val is not None:
+                arrays[f"{name}{lvl}"] = np.asarray(val)
         meta.setdefault("doubling", []).append(int(t.get_doubling()))
         ls = mg.get_level_solve(lvl)
         meta["level_solves"].append(
@@ -70,9 +79,9 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
     built coefficients directly (no re-probing)."""
     data = np.load(path)
     meta = json.loads(bytes(data["__meta__"]).decode())
-    if meta["version"] != FORMAT_VERSION:
-        raise ValueError(f"checkpoint version {meta['version']} != "
-                         f"{FORMAT_VERSION}")
+    if meta["version"] not in (1, FORMAT_VERSION):
+        raise ValueError(f"checkpoint version {meta['version']} not in "
+                         f"(1, {FORMAT_VERSION})")
     n = meta["n_levels"]
     lat0 = Lattice2D(*meta["lattices"][0])
     if lat0 != fine_stencil.lat:
@@ -95,15 +104,16 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
         t.fine_lat = lat_prev
         t.coarse_lat = lat
         t.doubling = doubling
-        from .transfer import _block_permutation
-        t._perm, t._inv_perm, t.block_dof = _block_permutation(lat_prev,
-                                                               lat)
-        t._coarse_is_point = lat.volume == 1
+        t._init_geometry()
         t._nvb = nvb
-        t._restrict_nvb = None
-        t.block_cholesky = None
-        t.block_L = None
-        t.block_U = None
+
+        def _opt(name):
+            k = f"{name}{lvl - 1}"
+            return jnp.asarray(data[k]) if k in data else None
+        t._restrict_nvb = _opt("rnvb")
+        t.block_cholesky = _opt("chol")
+        t.block_L = _opt("blockL")
+        t.block_U = _opt("blockU")
 
         is_chiral, dc = meta["chirality"][lvl]
         st = CoarseOperator2D.__new__(CoarseOperator2D)

@@ -105,7 +105,7 @@ class Wilson2D(Stencil2D):
 
     def gamma5(self, x):
         """diag(1, -1) on spin (reference :74-93)."""
-        return x.at[..., 1].multiply(-1.0) if hasattr(x, "at") else x
+        return jnp.asarray(x).at[..., 1].multiply(-1.0)
 
     def sigma1(self, x):
         """Spin swap (reference :128-143)."""

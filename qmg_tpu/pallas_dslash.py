@@ -213,9 +213,11 @@ def make_pallas_dslash_shaped(nc: int, y_len: int, xh: int, tile: int = 8,
     def vmem_bytes(t):
         per_row = xh * 4
         c_row = xh * csize
-        hopping = 8 * nc * nc * t * c_row * 2
-        clover = 2 * nc * nc * 2 * t * c_row * 2
-        out = 2 * nc * 2 * t * per_row * 2
+        # pallas_call double-buffers every BlockSpec-pipelined operand:
+        # each of hopping/clover/out costs 2x its block bytes.
+        hopping = 2 * (4 * 2 * nc * nc * 2 * t * c_row)
+        clover = 2 * (2 * nc * nc * 2 * t * c_row)
+        out = 2 * (2 * nc * 2 * t * per_row)
         xwin = n_slots * 2 * nc * 2 * (t + 16) * per_row
         return hopping + clover + out + xwin
 

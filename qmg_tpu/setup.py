@@ -118,6 +118,184 @@ class KCycleConfig:
     coarsest_direct: bool = False
 
 
+@dataclasses.dataclass
+class AdaptiveConfig:
+    """The n22 adaptive (alpha-MG) setup parameter block
+    (reference tests/n22_wilson_kcycle_adaptive/wilson_kcycle.cpp:46-122,
+    :250-257, :289, :373-374, :441-448)."""
+    n_refine: int = 2
+    coarse_dof: int = 8          # after doubling
+    x_block: int = 4
+    y_block: int = 4
+    n_setup: int = 1             # adaptive passes (reference m loop :336)
+    # Setup-phase intermediate solve params (reference :250-253).
+    setup_inner_tol: float = 1e-10
+    setup_inner_iters: int = 8
+    setup_inner_restart: int = 1024
+    # Smoothers (shared between setup and solve phase).
+    n_pre_smooth: int = 2
+    pre_smooth_tol: float = 1e-15
+    n_post_smooth: int = 2
+    post_smooth_tol: float = 1e-15
+    # Richardson initial test-vector smoothing (reference :289, :664).
+    richardson_iters: int = 10
+    richardson_omega: float = 0.33
+    richardson_blocksize: int = 250
+    # K-cycle smoothing of test vectors per adaptive pass (:373-374).
+    kcycle_smooth_iters: int = 10
+    kcycle_smooth_tol: float = 1e-10
+    # Solve-phase params restored by finalize_adaptive (reference :441-448).
+    inner_tol: float = 0.2
+    inner_max_iter: int = 1000
+    inner_restart_freq: int = 32
+    coarsest_tol: float = 0.2
+    coarsest_max_iter: int = 1000
+    coarsest_restart_freq: int = 32
+
+
+def _setup_level_solve(acfg: AdaptiveConfig) -> LevelSolveMG:
+    return LevelSolveMG(
+        intermediate_tol=acfg.setup_inner_tol,
+        intermediate_iters=acfg.setup_inner_iters,
+        intermediate_restart_freq=acfg.setup_inner_restart,
+        pre_tol=acfg.pre_smooth_tol, pre_iters=acfg.n_pre_smooth,
+        post_tol=acfg.post_smooth_tol, post_iters=acfg.n_post_smooth)
+
+
+def build_coarse_by_restrict(mg: StatefulMultigridMG, test_vectors,
+                             fine_level: int, coarse_lat: Lattice2D,
+                             level_solve: LevelSolveMG, fresh_build: bool,
+                             rng, acfg: AdaptiveConfig) -> TransferMG:
+    """Build (or rebuild) the level below ``fine_level`` from
+    Richardson-smoothed gaussian test vectors generated on ``fine_level``'s
+    own operator (reference n22 build_coarse_by_restrict,
+    tests/n22_wilson_kcycle_adaptive/wilson_kcycle.cpp:628-706: gaussian ->
+    minv_vector_richardson(10, 1e-10, omega=0.33, blocksize=250) ->
+    orthogonalize -> normalize -> chiral double -> new TransferMG ->
+    push_level / update_level).
+
+    Divergence from the reference (documented in PARITY.md): the new
+    transfer carries DoublingType.PROJECTION. The reference omits the
+    doubling argument (n22:680), defaulting to NONE, which makes the NEXT
+    level's chiral_projection_both a no-op (coarse.h:624-650) and would
+    produce zero down-vectors (singular blocks) at n_refine >= 3; with
+    PROJECTION the chirality convention propagates and deep hierarchies
+    work. For n_refine <= 2 the trajectories are identical (doubling only
+    sets the coarse op's default-chirality metadata).
+    """
+    st = mg.get_stencil(fine_level)
+    lat_f = mg.get_lattice(fine_level)
+    matvec = st.get_apply_function()
+    n_half = coarse_lat.nc // 2
+    tvs = []
+    for _ in range(n_half):
+        g = jnp.asarray(rng.gaussian_cv(lat_f))
+        res = solvers.richardson(matvec, g, max_iter=acfg.richardson_iters,
+                                 tol=1e-10, omega=acfg.richardson_omega,
+                                 blocksize=acfg.richardson_blocksize)
+        mg.add_tracker_count(DSLASH_NULLVEC, int(res.ops_count), fine_level)
+        v = res.x
+        for w in tvs:
+            v = orthogonal(v, w)
+        tvs.append(normalize(v))
+    test_vectors[fine_level] = tvs
+    raw = chiral_double(st, jnp.stack(tvs))
+    transfer = TransferMG(lat_f, coarse_lat, raw, do_block_ortho=True,
+                          doubling=DoublingType.PROJECTION)
+    if fresh_build:
+        mg.push_level(coarse_lat, transfer, level_solve, build_stencil=True,
+                      is_chiral=True, nvecs=raw)
+    else:
+        mg.update_level(fine_level + 1, coarse_lat, transfer, level_solve,
+                        build_stencil=True, is_chiral=True, nvecs=raw)
+    return transfer
+
+
+def build_adaptive_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
+                             acfg: AdaptiveConfig, rng):
+    """The n22 initial setup (reference :260-333): every level gets
+    Richardson-smoothed gaussian test vectors generated on its own
+    operator. Returns (mg, test_vectors) - feed both to adaptive_pass."""
+    coarsest = CoarsestSolveMG(
+        coarsest_tol=acfg.coarsest_tol,
+        coarsest_iters=acfg.coarsest_max_iter,
+        coarsest_restart_freq=acfg.coarsest_restart_freq)
+    mg = StatefulMultigridMG(lat0, fine_op, coarsest)
+    test_vectors = {}
+    cur_x, cur_y = lat0.x_len, lat0.y_len
+    for i in range(acfg.n_refine):
+        cur_x //= acfg.x_block
+        cur_y //= acfg.y_block
+        lat_i = Lattice2D(cur_x, cur_y, acfg.coarse_dof)
+        build_coarse_by_restrict(mg, test_vectors, i, lat_i,
+                                 _setup_level_solve(acfg), True, rng, acfg)
+    return mg, test_vectors
+
+
+def adaptive_pass(mg: StatefulMultigridMG, test_vectors,
+                  acfg: AdaptiveConfig, rng):
+    """One adaptive setup pass (reference n22 m-loop, :336-426).
+
+    Per level i (fine to coarse): smooth each test vector with the
+    CURRENT K-cycle at that level (10-iteration FGCR preconditioned by
+    mg_preconditioner; the level-i rhs for i > 0 is the restriction of
+    the finer level's test vector, :361-370), re-orthonormalize,
+    chiral-double, rebuild the transfer, update_level - then rebuild all
+    coarser levels via build_coarse_by_restrict (:403-410).
+    """
+    from .stateful import _zero_carry
+    n_refine = mg.get_num_levels() - 1
+    for i in range(n_refine):
+        st = mg.get_stencil(i)
+        lat_f = mg.get_lattice(i)
+        lat_c = mg.get_lattice(i + 1)
+        matvec = st.get_apply_function()
+        precond = mg.make_preconditioner(i)
+        n_half = lat_c.nc // 2
+        new_tvs = []
+        for j in range(n_half):
+            if i == 0:
+                rhs = test_vectors[0][j]
+            else:
+                rhs = mg.get_transfer(i - 1).restrict_f2c(
+                    test_vectors[i - 1][j])
+            res, _ = solvers.gcr_var_precond(
+                matvec, rhs, precond,
+                max_iter=acfg.kcycle_smooth_iters,
+                tol=acfg.kcycle_smooth_tol,
+                precond_carry=_zero_carry(mg.get_num_levels()))
+            mg.add_tracker_count(DSLASH_NULLVEC, int(res.ops_count) + 1, i)
+            v = res.x
+            for w in new_tvs:
+                v = orthogonal(v, w)
+            new_tvs.append(normalize(v))
+        test_vectors[i] = new_tvs
+        raw = chiral_double(st, jnp.stack(new_tvs))
+        transfer = TransferMG(lat_f, lat_c, raw, do_block_ortho=True,
+                              doubling=DoublingType.PROJECTION)
+        mg.update_level(i + 1, lat_c, transfer, mg.get_level_solve(i),
+                        build_stencil=True, is_chiral=True, nvecs=raw)
+        for jj in range(i + 1, n_refine):
+            build_coarse_by_restrict(mg, test_vectors, jj,
+                                     mg.get_lattice(jj + 1),
+                                     mg.get_level_solve(jj), False, rng,
+                                     acfg)
+
+
+def finalize_adaptive(mg: StatefulMultigridMG, acfg: AdaptiveConfig):
+    """End of setup: fold all setup work into the NULLVEC counters
+    (reference :428-432) and restore the solve-phase intermediate
+    parameters (:436-448)."""
+    for i in range(mg.get_num_levels()):
+        mg.shift_all_to_nullvec(i)
+    for i in range(mg.get_num_levels() - 1):
+        ls = mg.get_level_solve(i)
+        mg.level_solve_list[i] = dataclasses.replace(
+            ls, intermediate_tol=acfg.inner_tol,
+            intermediate_iters=acfg.inner_max_iter,
+            intermediate_restart_freq=acfg.inner_restart_freq)
+
+
 def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
                            cfg: KCycleConfig, rng,
                            is_chiral: bool = True) -> StatefulMultigridMG:

@@ -131,6 +131,7 @@ class StatefulMultigridMG(MultigridMG):
         self.coarsest_evals = None
         self.coarsest_evecs = None
         self.coarsest_dinv = None
+        self._aux_version = 0
         self._solve_cache = {}
 
     # --- level management (reference :374-497) ---
@@ -139,12 +140,14 @@ class StatefulMultigridMG(MultigridMG):
         self.level_solve_list.append(level_solve)
         self.dslash_tracker_list.append(DslashTrackerMG())
         self.coarsest_dinv = None  # coarsest level changed
+        self._aux_version += 1
 
     def pop_level(self):
         super().pop_level()
         self.level_solve_list.pop()
         self.dslash_tracker_list.pop()
         self.coarsest_dinv = None
+        self._aux_version += 1
 
     def update_level(self, level, new_lat, new_transfer, level_solve=None,
                      **kw):
@@ -153,6 +156,7 @@ class StatefulMultigridMG(MultigridMG):
         # Trackers are preserved (reference :490-491).
         if level == self.get_num_levels() - 1:
             self.coarsest_dinv = None
+        self._aux_version += 1
 
     def get_level_solve(self, i: int) -> LevelSolveMG:
         ls = self.level_solve_list[i]
@@ -232,6 +236,7 @@ class StatefulMultigridMG(MultigridMG):
                                 keepdims=True))
         self.coarsest_evals = vals
         self.coarsest_evecs = vecs / nrms
+        self._aux_version += 1
         if print_evals:
             for i, v in enumerate(np.asarray(vals)):
                 print(f"[QMG-COARSEST-EVALS]: {i} {v.real}")
@@ -274,6 +279,7 @@ class StatefulMultigridMG(MultigridMG):
             dinv = np.linalg.pinv(mat)
         self.coarsest_dinv = jnp.asarray(dinv, dd)
         cs.direct = True
+        self._aux_version += 1
 
     # ------------------------------------------------------------------
     # The K-cycle preconditioner (reference mg_preconditioner, :734-1060).
@@ -483,21 +489,22 @@ class StatefulMultigridMG(MultigridMG):
         """
         n_levels = self.get_num_levels()
 
-        # Cache compiled solves. The key includes the identity of every
-        # coefficient/null-vector buffer (they are closure constants in
-        # the traced computation), so update_links / update_level / new
-        # transfers correctly invalidate the cache while repeated solves
-        # (e.g. per-source propagators) reuse the executable.
-        state_ids = []
+        # Cache compiled solves. The key is built from monotonic state
+        # versions (never reused, unlike id()s, which GC can recycle):
+        # every stencil bumps its version on update_links / update_shifts,
+        # transfers carry a fixed per-instance version, and deflation /
+        # direct-coarsest preparation bumps the hierarchy's own version.
+        # Repeated solves (e.g. per-source propagators) reuse the
+        # executable; any state mutation misses the cache.
+        state_vs = []
         for lvl in range(n_levels):
-            c = self.get_stencil(lvl).coeffs
-            state_ids += [id(c.clover), id(c.hopping), complex(c.shift)]
+            st = self.get_stencil(lvl)
+            state_vs += [st.version, complex(st.coeffs.shift)]
         for lvl in range(n_levels - 1):
-            state_ids.append(id(self.get_transfer(lvl)._nvb))
-        key = (tuple(state_ids), b.shape, str(b.dtype), float(tol),
+            state_vs.append(self.get_transfer(lvl).version)
+        key = (tuple(state_vs), b.shape, str(b.dtype), float(tol),
                int(max_iter), int(restart_freq), int(outer_type),
-               id(self.coarsest_evecs), id(self.coarsest_dinv),
-               bool(verbose))
+               self._aux_version, bool(verbose))
 
         run = self._solve_cache.get(key) if jit else None
         if run is None:

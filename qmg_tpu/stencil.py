@@ -61,6 +61,18 @@ def _compile_time_eval_on_host():
 OPPOSITE_DIR = {DIR_XP1: DIR_XM1, DIR_XM1: DIR_XP1,
                 DIR_YP1: DIR_YM1, DIR_YM1: DIR_YP1}
 
+# Global monotonic state-version source. Every mutable solver-state object
+# (stencil coefficient sets, transfer null vectors, deflation bases) draws
+# a fresh, never-reused version number at construction and on each
+# mutation; compiled-solve caches key on these versions instead of id()s,
+# which the garbage collector can recycle.
+import itertools as _itertools
+_STATE_VERSIONS = _itertools.count()
+
+
+def next_state_version() -> int:
+    return next(_STATE_VERSIONS)
+
 
 class StencilType(enum.IntEnum):
     """Matvec variants (reference QMGStencilType, stencil_2d.h:63-74)."""
@@ -385,10 +397,27 @@ class Stencil2D:
         self._dagger: Optional[StencilCoeffs] = None
         self._rbjacobi: Optional[RBJacobiSet] = None
         self._rbj_dagger: Optional[RBJacobiSet] = None
+        self._version = next_state_version()
         # Optional fused-kernel replacement for the ORIGINAL apply
         # (set by e.g. the TPU planes solver to route the hot Dslash
         # through the Pallas kernel). Must compute the FULL apply_M.
-        self.apply_override = None
+        self._apply_override = None
+
+    @property
+    def version(self) -> int:
+        """Monotonic state version: changes whenever the operator's
+        coefficients (or apply override) change. Compiled-solve caches key
+        on this (never-reused) value instead of buffer id()s."""
+        return self._version
+
+    @property
+    def apply_override(self):
+        return self._apply_override
+
+    @apply_override.setter
+    def apply_override(self, fn):
+        self._apply_override = fn
+        self._version = next_state_version()
 
     # --- construction / update ---
     @property
@@ -461,6 +490,7 @@ class Stencil2D:
         self._dagger = None
         self._rbjacobi = None
         self._rbj_dagger = None
+        self._version = next_state_version()
 
     # --- lazily built derived stencils ---
     @property

@@ -107,9 +107,7 @@ class TransferMG:
         if nv.shape[0] != nvec:
             raise ValueError(f"need {nvec} null vectors, got {nv.shape[0]}")
 
-        self._perm, self._inv_perm, self.block_dof = _block_permutation(
-            fine_lat, coarse_lat)
-        self._coarse_is_point = coarse_lat.volume == 1
+        self._init_geometry()
 
         # Blocked null vectors: (nvec, 2c, Yc, Xhc, B).
         nvb = self._to_blocked_batch(nv)
@@ -149,18 +147,95 @@ class TransferMG:
                 "vectors - the per-block Gram matrix is singular (null "
                 "vectors are linearly dependent within a block)")
 
+    @property
+    def version(self) -> int:
+        """Monotonic state version (see stencil.next_state_version).
+        Transfers are immutable after construction, so the version is
+        fixed per instance - but never reused across instances, unlike
+        id(). Lazy so checkpoint's __new__ construction path works."""
+        v = getattr(self, "_version", None)
+        if v is None:
+            from .stencil import next_state_version
+            self._version = v = next_state_version()
+        return v
+
     # --- layout plumbing ---
+    def _init_geometry(self):
+        """Blocking geometry. For even x-blocks (every production config)
+        the fine<->blocked layout change is pure reshape/transpose/select
+        - shard-LOCAL under (y, x) lattice sharding, so restrict/prolong
+        never gather the fine field (the round-1 permutation gather
+        forced an all-gather under SPMD). Odd x-blocks split the eo-packed
+        x axis across parities and keep the gather fallback.
+        """
+        fine_lat, coarse_lat = self.fine_lat, self.coarse_lat
+        by = fine_lat.y_len // coarse_lat.y_len
+        bx = fine_lat.x_len // coarse_lat.x_len
+        if (by * coarse_lat.y_len != fine_lat.y_len
+                or bx * coarse_lat.x_len != fine_lat.x_len):
+            raise ValueError(
+                "fine dims must divide evenly by coarse dims "
+                "(reference transfer/transfer.h:130-133)")
+        self._by, self._bx = by, bx
+        self.block_dof = by * bx * fine_lat.nc
+        self._coarse_is_point = coarse_lat.volume == 1
+        self._use_reshape = bx % 2 == 0 or self._coarse_is_point
+        if not self._use_reshape:
+            self._perm, self._inv_perm, _ = _block_permutation(
+                fine_lat, coarse_lat)
+
     def _to_blocked(self, fine):
-        """(2, Y, Xh, nc) -> (2c, Yc, Xhc, B)."""
-        return fine.reshape(-1)[self._perm]
+        """(2, Y, Xh, nc) -> (2c, Yc, Xhc, B).
+
+        The b axis orders fine dof by ascending fine flat cv index within
+        each block (parity-major, then y, then xh, then color) - the same
+        ordering as the reference's merge-sorted coarse_map
+        (transfer/transfer.h:440).
+        """
+        if not self._use_reshape:
+            return fine.reshape(-1)[self._perm]
+        fl, cl = self.fine_lat, self.coarse_lat
+        by, bxh = self._by, max(self._bx // 2, 1)
+        yc, xc = cl.y_len, cl.x_len
+        nc = fl.nc
+        # (2, Yc, By, Xc, Bxh, nc): each (cy, cx) slab is one block's
+        # sites of one parity (fine xh of block cx = [cx*Bxh, (cx+1)*Bxh)
+        # for BOTH parities because Bx is even).
+        z = fine.reshape(2, yc, by, xc, bxh, nc)
+        z = jnp.transpose(z, (1, 3, 0, 2, 4, 5))     # (Yc, Xc, 2, By, Bxh, nc)
+        z = z.reshape(yc, xc, 2 * by * bxh * nc)     # parity-major b axis
+        if self._coarse_is_point:
+            return z.reshape(1, 1, 1, -1)
+        # eo-pack the coarse (Yc, Xc) grid: coarse parity = (cy + cx) % 2,
+        # so within each row the even/odd coarse sites alternate columns.
+        zp = z.reshape(yc, cl.xh, 2, -1)
+        row_odd = (jnp.arange(yc) % 2).astype(bool)[:, None, None]
+        even = jnp.where(row_odd, zp[:, :, 1], zp[:, :, 0])
+        odd = jnp.where(row_odd, zp[:, :, 0], zp[:, :, 1])
+        return jnp.stack([even, odd])
+
+    def _from_blocked(self, blocked):
+        """(2c, Yc, Xhc, B) -> (2, Y, Xh, nc) (inverse of _to_blocked)."""
+        if not self._use_reshape:
+            return blocked.reshape(-1)[self._inv_perm].reshape(
+                self.fine_lat.cv_shape())
+        fl, cl = self.fine_lat, self.coarse_lat
+        by, bxh = self._by, max(self._bx // 2, 1)
+        yc, xc = cl.y_len, cl.x_len
+        nc = fl.nc
+        if self._coarse_is_point:
+            z = blocked.reshape(1, 1, -1)
+        else:
+            row_odd = (jnp.arange(yc) % 2).astype(bool)[:, None, None]
+            k0 = jnp.where(row_odd, blocked[1], blocked[0])
+            k1 = jnp.where(row_odd, blocked[0], blocked[1])
+            z = jnp.stack([k0, k1], axis=2).reshape(yc, xc, -1)
+        z = z.reshape(yc, xc, 2, by, bxh, nc)
+        z = jnp.transpose(z, (2, 0, 3, 1, 4, 5))     # (2, Yc, By, Xc, Bxh, nc)
+        return z.reshape(self.fine_lat.cv_shape())
 
     def _to_blocked_batch(self, fine_batch):
         return jax.vmap(self._to_blocked)(fine_batch)
-
-    def _from_blocked(self, blocked):
-        """(2c, Yc, Xhc, B) -> (2, Y, Xh, nc)."""
-        return blocked.reshape(-1)[self._inv_perm].reshape(
-            self.fine_lat.cv_shape())
 
     def _coarse_shape(self, blocked_like):
         if self._coarse_is_point:

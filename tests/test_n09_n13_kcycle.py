@@ -72,6 +72,60 @@ def test_wilson_kcycle_interacting(cfg_dir):
           f"avg coarse/fine={avg[1]:.1f}")
 
 
+# Deterministic outer-iteration pins on the shipped heatbath configs.
+# Seeds are fixed (QMGRandom(1337), mirroring the reference's
+# mt19937(1337u) anchor, n13:64), so iteration counts are exact and serve
+# as the de-facto regression metric (SURVEY.md section 4). Recorded on
+# CPU fp64; +-1 tolerance absorbs BLAS reduction-order jitter across
+# machines. Includes the reference's recommended operating point
+# (64^2, m=-0.075, n13:40,80-82) and the BASELINE.md 128^2-to-1e-10
+# target. Table duplicated in PARITY.md.
+ITER_PINS = {
+    (32, -0.06, 2): 18,
+    (64, -0.075, 2): 19,
+    (128, -0.075, 3): 20,
+}
+
+
+def _pinned_kcycle(cfg_dir, L, mass, n_refine):
+    lat0 = Lattice2D(L, L, 2)
+    g = u1.read_gauge_u1(lat0,
+                         os.path.join(cfg_dir, f"l{L}t{L}b60_heatbath.dat"))
+    op = Wilson2D(lat0, mass, g)
+    cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8)
+    rng = QMGRandom(1337)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+    b = jnp.asarray(rng.gaussian_cv(lat0))
+    res = mg.solve(b, tol=1e-10, max_iter=1000, restart_freq=32,
+                   track=False)
+    assert bool(res.converged)
+    resid = float(jnp.sqrt(norm2sq(b - op.apply_M(res.x)) / norm2sq(b)))
+    assert resid < 1e-9
+    want = ITER_PINS[(L, mass, n_refine)]
+    got = int(res.iters)
+    assert abs(got - want) <= 1, (
+        f"n13 {L}^2 m={mass} n_refine={n_refine}: outer iters {got} "
+        f"diverged from pinned {want}")
+    print(f"[QMG-TEST] n13 {L}^2 m={mass}: {got} iters (pin {want})")
+
+
+@pytest.mark.slow
+def test_iter_pin_32sq(cfg_dir):
+    _pinned_kcycle(cfg_dir, 32, -0.06, 2)
+
+
+@pytest.mark.slow
+def test_iter_pin_64sq_operating_point(cfg_dir):
+    """The reference's recommended operating point (n13:40,80-82)."""
+    _pinned_kcycle(cfg_dir, 64, -0.075, 2)
+
+
+@pytest.mark.slow
+def test_iter_pin_128sq_to_1e10(cfg_dir):
+    """BASELINE.md rebuild target: 128^2 U(1) Wilson K-cycle to 1e-10."""
+    _pinned_kcycle(cfg_dir, 128, -0.075, 3)
+
+
 def test_wilson_kcycle_beats_unpreconditioned(cfg_dir):
     """MG iteration count must be far below plain GCR's."""
     from qmg_tpu import solvers

@@ -114,3 +114,26 @@ def test_arnoldi_iterative_path(monkeypatch):
         v = jnp.asarray(vecs[i])
         r = op.apply_M(v) - vals[i] * v
         assert float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))) < 1e-5
+
+
+def test_arnoldi_iterative_path_smallest_magnitude(monkeypatch):
+    """The deflation-relevant selector (SMALLEST_MAGNITUDE) through the
+    true restarted-Arnoldi branch, small op so the dense oracle is
+    exact."""
+    lat = Lattice2D(8, 8, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, -0.05, g)
+    mv = op.get_apply_function()
+    dense_vals, _ = eig.dense_eigensystem(mv, lat.cv_shape())
+    monkeypatch.setattr(eig, "_DENSE_CUTOFF", 8)
+    vals, vecs = eig.arnoldi_eigensystem(mv, lat.cv_shape(), nev=6,
+                                         which=eig.SMALLEST_MAGNITUDE,
+                                         tol=1e-9)
+    want = dense_vals[np.argsort(np.abs(dense_vals))[:6]]
+    np.testing.assert_allclose(np.sort(np.abs(vals)),
+                               np.sort(np.abs(want)), rtol=1e-6)
+    for i in range(6):
+        v = jnp.asarray(vecs[i])
+        r = mv(v) - vals[i] * v
+        assert float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))) < 1e-6

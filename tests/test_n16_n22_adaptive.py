@@ -83,6 +83,63 @@ def _push_adaptive_level(mg, lat_prev, lat_i, test_vectors, update=False,
     return raw
 
 
+def test_n22_full_adaptive_ladder():
+    """The complete n22 flow at 3 levels x 2 adaptive passes:
+    build_coarse_by_restrict initial deeper levels (reference n22:327-333,
+    :628-706), per-pass K-cycle self-smoothing with restriction from the
+    finer level's test vectors + rebuild-all-coarser (:336-426), ops
+    accounting via shift_all_to_nullvec (:428-432), and the solve-phase
+    parameter restore (:436-448)."""
+    from qmg_tpu.setup import (AdaptiveConfig, build_adaptive_hierarchy,
+                               adaptive_pass, finalize_adaptive)
+
+    lat0 = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
+    op = Wilson2D(lat0, -0.05, g)
+    acfg = AdaptiveConfig(n_refine=2, coarse_dof=8, x_block=4, y_block=4,
+                          n_setup=2)
+    mg, tvs = build_adaptive_hierarchy(lat0, op, acfg, rng)
+    assert mg.get_num_levels() == 3
+    assert mg.get_lattice(2).volume == 1
+    assert len(tvs[0]) == 4 and len(tvs[1]) == 4
+
+    b = jnp.asarray(rng.gaussian_cv(lat0))
+    iters = []
+    res = mg.solve(b, tol=1e-8, max_iter=400, restart_freq=32, track=False)
+    assert bool(res.converged)
+    iters.append(int(res.iters))
+
+    for _ in range(acfg.n_setup):
+        adaptive_pass(mg, tvs, acfg, rng)
+        res = mg.solve(b, tol=1e-8, max_iter=400, restart_freq=32,
+                       track=False)
+        assert bool(res.converged)
+        iters.append(int(res.iters))
+
+    # The adaptive passes must not degrade the hierarchy (usually they
+    # strictly improve the initial Richardson-only vectors).
+    assert iters[-1] <= iters[0] + 2, f"adaptive degraded: {iters}"
+    print(f"[QMG-TEST] n22 full ladder iters per pass: {iters}")
+
+    # Ops accounting (reference :428-432, :494-522): after finalize all
+    # setup work sits in NULLVEC; Krylov counters restart from zero.
+    finalize_adaptive(mg, acfg)
+    for lvl in range(3):
+        assert mg.get_tracker_count(DSLASH_KRYLOV, lvl) == 0
+    assert mg.get_tracker_count(DSLASH_NULLVEC, 0) > 0
+    assert mg.get_tracker_count(DSLASH_NULLVEC, 1) > 0
+    # Solve-phase params restored (reference :441-448).
+    assert mg.get_level_solve(0).intermediate_tol == acfg.inner_tol
+    assert mg.get_level_solve(1).intermediate_iters == acfg.inner_max_iter
+
+    res = mg.solve(b, tol=1e-8, max_iter=400, restart_freq=32)
+    assert bool(res.converged)
+    assert mg.get_tracker_count(DSLASH_KRYLOV, 0) > 0
+    avg = mg.query_average_iterations()
+    assert avg[0] == float(int(res.iters))
+
+
 def test_n22_adaptive_setup_improves():
     """Initial Richardson-smoothed vectors, then one adaptive pass that
     re-smooths the test vectors with the current K-cycle itself and
