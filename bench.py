@@ -31,15 +31,26 @@ from qmg_tpu.operators.wilson import wilson_coeffs_numpy
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=2048)
-    p.add_argument("--iters", type=int, default=100)
+    p.add_argument("--iters", type=int, default=200)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["dslash", "kcycle"], default="dslash")
-    p.add_argument("--kernel", choices=["phase", "pallas", "xla"],
-                   default="phase",
-                   help="phase-streaming Wilson kernel (default), generic "
-                        "matrix Pallas kernel, or the jnp/XLA path")
+    p.add_argument("--kernel",
+                   choices=["phase-r1", "phase-split", "phase", "pallas",
+                            "split", "small", "xla"],
+                   default="phase-r1",
+                   help="interleaved rank-1 phase kernel (default), "
+                        "split-layout rank-1 phase kernel, "
+                        "interleaved phase-streaming Wilson kernel, "
+                        "generic matrix Pallas kernel, row-parity-split "
+                        "matrix kernel, VMEM-resident small-lattice "
+                        "kernel, or the jnp/XLA path")
     p.add_argument("--tile", type=int, default=32,
                    help="Pallas Y-tile rows")
+    p.add_argument("--coarse-apply", default="auto",
+                   choices=["auto", "jnp", "gather", "small"],
+                   help="kcycle mode: coarse-level ORIGINAL apply "
+                        "formulation (auto: jnp for --kernel xla, "
+                        "gather otherwise)")
     p.add_argument("--no-direct", action="store_true",
                    help="kcycle mode: keep the iterative coarsest solve "
                         "instead of the dense-inverse direct one")
@@ -83,13 +94,70 @@ def main_with_args(args):
     n_iters = args.iters
 
     def _fallback(e):
-        fallback = "pallas" if args.kernel == "phase" else "xla"
+        fallback = {"phase-r1": "phase", "phase-split": "phase",
+                    "phase": "pallas"}.get(
+            args.kernel, "xla")
         print(f"# {args.kernel} kernel unavailable ({type(e).__name__}: "
               f"{e}); falling back to the {fallback} path", file=sys.stderr)
         args.kernel = fallback
         return main_with_args(args)
 
-    if args.kernel == "phase":
+    if args.kernel == "phase-r1":
+        # Interleaved-layout rank-1 phase kernel: the proven window/DMA
+        # structure of "phase" with ONE complex multiply per direction
+        # (w=1 rank-1 projectors) - ~40% fewer VPU ops.
+        from qmg_tpu.pallas_wilson import make_pallas_wilson_rank1_shaped
+        try:
+            apply_fn = make_pallas_wilson_rank1_shaped(
+                lat.y_len, lat.xh, 1.0, mass, tile=args.tile)
+        except ValueError as e:
+            return _fallback(e)
+        u_half = -hopping[..., 0, 0]                 # 0.5 * U_d_eff
+        ppl = np.stack([u_half.real, u_half.imag], axis=2).astype(
+            np.float32)
+        xpl = np.moveaxis(x_p, 3, 1)
+        xpl = np.moveaxis(xpl, 4, 2).astype(np.float32)
+
+        @jax.jit
+        def chain(ppl, xpl):
+            def body(_, v):
+                y = apply_fn(ppl, v)
+                return y / jnp.sqrt(jnp.sum(y * y))
+            out = jax.lax.fori_loop(0, n_iters, body, xpl)
+            return jnp.sum(jnp.abs(out))
+
+        dev_args = [jax.device_put(a) for a in (ppl, xpl)]
+    elif args.kernel == "phase-split":
+        # Split-layout rank-1 variant of the phase kernel: pure-roll
+        # pulls (no row-parity selects) and ONE complex multiply per
+        # direction via the w=1 rank-1 projector factorization
+        # (pallas_wilson.py). Same 64 B/site traffic as "phase".
+        from qmg_tpu.pallas_wilson import make_pallas_wilson_split_shaped
+        try:
+            apply_fn = make_pallas_wilson_split_shaped(
+                lat.y_len, lat.xh, 1.0, mass, tile=args.tile)
+        except ValueError as e:
+            return _fallback(e)
+        u_half = -hopping[..., 0, 0]                 # 0.5 * U_d_eff
+        # (4, 2p, Y, Xh) complex -> split (4, 2p, 2r, 2ri, Yh, Xh).
+        v = u_half.reshape(4, 2, lat.y_len // 2, 2, lat.xh)
+        v = v.transpose(0, 1, 3, 2, 4)
+        ppl = np.stack([v.real, v.imag], axis=3).astype(np.float32)
+        xc = np.asarray(x_p[..., 0] + 1j * x_p[..., 1])
+        v = xc.reshape(2, lat.y_len // 2, 2, lat.xh, lat.nc)
+        v = v.transpose(0, 2, 4, 1, 3)
+        xpl = np.stack([v.real, v.imag], axis=3).astype(np.float32)
+
+        @jax.jit
+        def chain(ppl, xpl):
+            def body(_, v):
+                y = apply_fn(ppl, v)
+                return y / jnp.sqrt(jnp.sum(y * y))
+            out = jax.lax.fori_loop(0, n_iters, body, xpl)
+            return jnp.sum(jnp.abs(out))
+
+        dev_args = [jax.device_put(a) for a in (ppl, xpl)]
+    elif args.kernel == "phase":
         # Wilson-specialized kernel: streams only the 4 U(1) phases per
         # site (the spin projectors are compile-time constants), cutting
         # HBM traffic from 192 to 64 B/site (pallas_wilson.py). The
@@ -118,24 +186,50 @@ def main_with_args(args):
             return jnp.sum(jnp.abs(out))
 
         dev_args = [jax.device_put(a) for a in (ppl, xpl)]
-    elif args.kernel == "pallas":
-        from qmg_tpu.pallas_dslash import make_pallas_dslash_shaped
-        try:
-            apply_fn = make_pallas_dslash_shaped(lat.nc, lat.y_len, lat.xh,
-                                                 tile=args.tile)
-        except ValueError as e:
-            return _fallback(e)
+    elif args.kernel in ("pallas", "split", "small"):
         # Channel planes on host: fold the mass into the clover diagonal.
         clover_m = clover.copy()
         clover_m[..., 0, 0] += mass
         clover_m[..., 1, 1] += mass
-        cpl = np.moveaxis(clover_m, (3, 4), (1, 2))
-        cpl = np.stack([cpl.real, cpl.imag], axis=3).astype(np.float32)
-        hpl = np.moveaxis(hopping, (4, 5), (2, 3))
-        hpl = np.stack([hpl.real, hpl.imag], axis=4).astype(np.float32)
-        # x planes (2, nc, 2, Y, Xh).
-        xpl = np.moveaxis(x_p, 3, 1)            # (2, nc, Y, Xh, 2)
-        xpl = np.moveaxis(xpl, 4, 2).astype(np.float32)
+        try:
+            if args.kernel == "pallas":
+                from qmg_tpu.pallas_dslash import make_pallas_dslash_shaped
+                apply_fn = make_pallas_dslash_shaped(
+                    lat.nc, lat.y_len, lat.xh, tile=args.tile)
+            elif args.kernel == "split":
+                from qmg_tpu.pallas_dslash import \
+                    make_pallas_dslash_split_shaped
+                apply_fn = make_pallas_dslash_split_shaped(
+                    lat.nc, lat.y_len, lat.xh, tile=args.tile)
+            else:
+                from qmg_tpu.pallas_dslash import \
+                    make_pallas_dslash_small_shaped
+                apply_fn = make_pallas_dslash_small_shaped(
+                    lat.nc, lat.y_len, lat.xh)
+        except ValueError as e:
+            return _fallback(e)
+        if args.kernel == "pallas":
+            cpl = np.moveaxis(clover_m, (3, 4), (1, 2))
+            cpl = np.stack([cpl.real, cpl.imag], axis=3).astype(np.float32)
+            hpl = np.moveaxis(hopping, (4, 5), (2, 3))
+            hpl = np.stack([hpl.real, hpl.imag], axis=4).astype(np.float32)
+            # x planes (2, nc, 2, Y, Xh).
+            xpl = np.moveaxis(x_p, 3, 1)            # (2, nc, Y, Xh, 2)
+            xpl = np.moveaxis(xpl, 4, 2).astype(np.float32)
+        else:
+            # Row-parity-split layouts (pallas_dslash.py split kernels).
+            def np_split_mat(z):
+                p2, Y, Xh, n1, n2 = z.shape
+                v = z.reshape(p2, Y // 2, 2, Xh, n1, n2)
+                v = v.transpose(0, 2, 4, 5, 1, 3)
+                return np.stack([v.real, v.imag], axis=-3).astype(
+                    np.float32)
+            cpl = np_split_mat(clover_m)
+            hpl = np.stack([np_split_mat(h) for h in hopping])
+            xc = np.asarray(x_p[..., 0] + 1j * x_p[..., 1])
+            v = xc.reshape(2, lat.y_len // 2, 2, lat.xh, lat.nc)
+            v = v.transpose(0, 2, 4, 1, 3)
+            xpl = np.stack([v.real, v.imag], axis=3).astype(np.float32)
 
         @jax.jit
         def chain(cpl, hpl, xpl):
@@ -167,7 +261,8 @@ def main_with_args(args):
         for _ in range(args.warmup):
             float(chain(*dev_args))
     except Exception as e:  # pragma: no cover - robustness for the driver
-        if args.kernel in ("phase", "pallas"):
+        if args.kernel in ("phase-r1", "phase-split", "phase",
+                           "pallas"):
             return _fallback(e)
         raise
     t0 = time.perf_counter()
@@ -182,10 +277,24 @@ def main_with_args(args):
     gbs = bytes_per_iter * n_iters / dt / 1e9
     frac = gbs / args.hbm_roofline_gbs
 
+    # Own-traffic accounting: the bytes THIS kernel actually moves per
+    # iteration. The phase kernels stream 4 U(1) phases (4 x 8 = 32
+    # B/site) instead of full matrices, plus the x read (16 B) and out
+    # write (16 B), plus the renorm's out read + x write (32 B): 96
+    # B/site total. Matrix/jnp formulations move the full 224 B/site.
+    if args.kernel in ("phase-r1", "phase-split", "phase"):
+        own_bytes_iter = (4 * 8 + 2 * nc * itemsize) * lat.volume \
+            + 2 * nc * lat.volume * itemsize
+    else:
+        own_bytes_iter = bytes_per_iter
+    own_gbs = own_bytes_iter * n_iters / dt / 1e9
+    own_pct = 100.0 * own_gbs / args.hbm_roofline_gbs
+
     sites_per_sec = lat.volume * n_iters / dt
     print(f"# wilson dslash {L}x{L} {args.kernel}: {dt*1e3/n_iters:.3f} ms/"
           f"apply, {sites_per_sec/1e9:.3f} Gsites/s, {gbs:.1f} GB/s "
           f"({100*frac:.1f}% of {args.hbm_roofline_gbs} GB/s roofline), "
+          f"own-traffic {own_gbs:.1f} GB/s = {own_pct:.1f}% roofline, "
           f"checksum={checksum:.4e} on {jax.devices()[0].device_kind}",
           file=sys.stderr)
     print(json.dumps({
@@ -193,6 +302,8 @@ def main_with_args(args):
         "value": round(gbs, 2),
         "unit": "GB/s",
         "vs_baseline": round(frac, 4),
+        "own_traffic_gbs": round(own_gbs, 2),
+        "own_traffic_pct": round(own_pct, 2),
     }))
 
 
@@ -211,7 +322,7 @@ def bench_kcycle(args):
     from qmg_tpu import u1
     from qmg_tpu.rng import QMGRandom
 
-    L = args.size if args.size <= 256 else 128
+    L = args.size
     lat = Lattice2D(L, L, 2)
     rng = QMGRandom(1337)
     tol = 1e-5  # f32 K-cycle target
@@ -231,13 +342,29 @@ def bench_kcycle(args):
                            nullvec_max_iter=200,
                            coarsest_direct=not args.no_direct)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng)
-        # Route the fine Dslash through the fused Pallas kernel when the
-        # lattice is kernel-aligned (Xh % 128, Y % 8).
-        use_pallas = (args.kernel == "pallas" and lat.xh % 128 == 0
-                      and lat.y_len % 8 == 0)
+        # Route the fine Dslash through a fused Pallas kernel: the
+        # windowed matrix kernel when lane-aligned (Xh % 128), else the
+        # VMEM-resident small kernel where its lane guard admits the
+        # shape (Xh % 64); coarse levels go through the gather apply.
+        if args.kernel == "xla":
+            use_pallas, kind = False, "matrix"
+        elif lat.xh % 128 == 0 and lat.y_len % 8 == 0:
+            use_pallas = True
+            kind = {"split": "matrix-split", "pallas": "matrix",
+                    "phase": "wilson-phase",
+                    "phase-r1": "wilson-r1",
+                    "phase-split": "wilson-r1"}.get(args.kernel, "matrix")
+        elif lat.xh % 64 == 0 and lat.y_len % 2 == 0:
+            use_pallas, kind = True, "small"
+        else:
+            use_pallas, kind = False, "matrix"
         solve_planes, state = make_planes_solver(
             mg, tol=tol, max_iter=200, restart_freq=32,
-            use_pallas_fine=use_pallas, pallas_tile=args.tile)
+            use_pallas_fine=use_pallas, pallas_kind=kind,
+            pallas_tile=args.tile,
+            coarse_apply=(("jnp" if args.kernel == "xla" else "gather")
+                          if args.coarse_apply == "auto"
+                          else args.coarse_apply))
         b_p = host_to_planes(rng.gaussian_cv(lat))
 
     solve_jit = jax.jit(solve_planes)

@@ -289,3 +289,356 @@ def make_pallas_dslash(coeffs: StencilCoeffs, tile: int = 8,
                                          tile=tile, interpret=interpret)
     clover_p, hopping_p = _channels_from_coeffs(coeffs)
     return apply_fn, (clover_p, hopping_p)
+
+
+# ---------------------------------------------------------------------------
+# Row-parity-split layout kernels.
+#
+# Storing y-rows split by parity r = y % 2 (x as (2p, 2r, nc, 2ri, Yh, Xh),
+# Yh = Y/2, row m of half r = global y = 2m + r) turns EVERY neighbor pull
+# into a pure roll or slice:
+#   +-x: for dest half r == q the +x source is the same lane, for r != q
+#        it is a lane rotation - no row-parity selects, no iota masks;
+#   +-y: dest half 0 pulls source half 1 at rows m / m-1, dest half 1
+#        pulls source half 0 at rows m+1 / m - sublane slices of the
+#        windowed rows (or torus rolls in the VMEM-resident variant).
+# The interleaved-layout kernel above spends a large share of its VPU
+# time on the jnp.where row-parity selects; this layout removes them.
+# ---------------------------------------------------------------------------
+
+
+def x_to_planes_split(x):
+    """(2, Y, Xh, nc) complex -> (2p, 2r, nc, 2ri, Yh, Xh) f32."""
+    x = x.astype(jnp.complex64)
+    two, y_len, xh, nc = x.shape
+    v = x.reshape(2, y_len // 2, 2, xh, nc)          # (p, m, r, xh, c)
+    v = jnp.transpose(v, (0, 2, 4, 1, 3))            # (p, r, c, m, xh)
+    return jnp.stack([jnp.real(v), jnp.imag(v)], axis=3)
+
+
+def x_from_planes_split(pl_x):
+    """(2p, 2r, nc, 2ri, Yh, Xh) f32 -> (2, Y, Xh, nc) complex64."""
+    v = jax.lax.complex(pl_x[:, :, :, 0], pl_x[:, :, :, 1])
+    v = jnp.transpose(v, (0, 3, 1, 4, 2))            # (p, m, r, xh, c)
+    two, yh, _, xh, nc = v.shape
+    return v.reshape(2, 2 * yh, xh, nc)
+
+
+def _channels_from_coeffs_split(coeffs: StencilCoeffs):
+    """Split-layout channel planes: clover (2p, 2r, nc, nc, 2ri, Yh, Xh)
+    with shifts folded in; hopping (4, 2p, 2r, nc, nc, 2ri, Yh, Xh)."""
+    lat = coeffs.lat
+    clover = mass_pattern(coeffs).astype(jnp.complex64)
+    if coeffs.clover is not None:
+        clover = clover + coeffs.clover.astype(jnp.complex64)
+    hopping = coeffs.hopping.astype(jnp.complex64)
+
+    def split(z):
+        # (..., 2p, Y, Xh, nc, nc) -> (..., 2p, 2r, nc, nc, 2ri, Yh, Xh)
+        shp = z.shape
+        lead = shp[:-5]
+        p2, y_len, xh, nc1, nc2 = shp[-5:]
+        v = z.reshape(lead + (p2, y_len // 2, 2, xh, nc1, nc2))
+        nl = len(lead)
+        # (p, m, r, xh, i, j) -> (p, r, i, j, m, xh)
+        perm = tuple(range(nl)) + tuple(nl + a for a in (0, 2, 4, 5, 1, 3))
+        v = jnp.transpose(v, perm)
+        return jnp.stack([jnp.real(v), jnp.imag(v)], axis=-3)
+
+    return split(clover), split(hopping)
+
+
+def _dslash_split_kernel(nc: int, tile: int, yh_len: int,
+                         double_buffer: bool,
+                         x_hbm, clover_ref, hopping_ref, out_ref,
+                         xwin, sems):
+    """One Yh-tile of the split-layout Dslash.
+
+    x_hbm:    (2p, 2r, nc, 2ri, Yh, Xh) in HBM, windowed by manual DMA.
+    clover:   (2p, 2r, nc, nc, 2ri, T, Xh) VMEM block.
+    hopping:  (4, 2p, 2r, nc, nc, 2ri, T, Xh) VMEM block.
+    out:      (2p, 2r, nc, 2ri, T, Xh) VMEM block.
+    xwin:     (slots, 2p, 2r, nc, 2ri, T+16, Xh) scratch with 8-row halos.
+    """
+    t = pl.program_id(0)
+    n_tiles = pl.num_programs(0)
+
+    def window_dmas(slot, tile_idx):
+        y0 = tile_idx * tile
+        dn_start = pl.multiple_of((y0 - 8) % yh_len, 8)
+        body_start = pl.multiple_of(y0 % yh_len, 8)
+        up_start = pl.multiple_of((y0 + tile) % yh_len, 8)
+        return (
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, :, pl.ds(dn_start, 8), :],
+                xwin.at[slot, :, :, :, :, pl.ds(0, 8), :],
+                sems.at[slot, 0]),
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, :, pl.ds(body_start, tile), :],
+                xwin.at[slot, :, :, :, :, pl.ds(8, tile), :],
+                sems.at[slot, 1]),
+            pltpu.make_async_copy(
+                x_hbm.at[:, :, :, :, pl.ds(up_start, 8), :],
+                xwin.at[slot, :, :, :, :, pl.ds(8 + tile, 8), :],
+                sems.at[slot, 2]),
+        )
+
+    if double_buffer:
+        slot = t % 2
+        next_slot = (t + 1) % 2
+
+        @pl.when(t == 0)
+        def _():
+            for dma in window_dmas(0, 0):
+                dma.start()
+
+        @pl.when(t + 1 < n_tiles)
+        def _():
+            for dma in window_dmas(next_slot, t + 1):
+                dma.start()
+
+        for dma in window_dmas(slot, t):
+            dma.wait()
+        xwin = xwin.at[slot]
+    else:
+        for dma in window_dmas(0, t):
+            dma.start()
+        for dma in window_dmas(0, t):
+            dma.wait()
+        xwin = xwin.at[0]
+
+    xh_len = out_ref.shape[-1]
+
+    def cmul_acc(acc_re, acc_im, hr, hi, xr, xi):
+        return (acc_re + hr * xr - hi * xi, acc_im + hr * xi + hi * xr)
+
+    for q in (0, 1):
+        p = 1 - q
+        for r in (0, 1):
+            # Per source color j: own-parity body (clover input) and the
+            # four pulled neighbor planes - all pure slices/rolls.
+            pulled = []
+            for j in range(nc):
+                xr = xwin[q, r, j, 0, 8:tile + 8, :]
+                xi = xwin[q, r, j, 1, 8:tile + 8, :]
+                same_re = xwin[p, r, j, 0, 8:tile + 8, :]
+                same_im = xwin[p, r, j, 1, 8:tile + 8, :]
+                if r == q:
+                    xp_re, xp_im = same_re, same_im
+                    xm_re = pltpu.roll(same_re, 1, 1)
+                    xm_im = pltpu.roll(same_im, 1, 1)
+                else:
+                    xp_re = pltpu.roll(same_re, xh_len - 1, 1)
+                    xp_im = pltpu.roll(same_im, xh_len - 1, 1)
+                    xm_re, xm_im = same_re, same_im
+                o = 1 - r
+                if r == 0:
+                    up_re = xwin[p, o, j, 0, 8:tile + 8, :]     # m
+                    up_im = xwin[p, o, j, 1, 8:tile + 8, :]
+                    dn_re = xwin[p, o, j, 0, 7:tile + 7, :]     # m-1
+                    dn_im = xwin[p, o, j, 1, 7:tile + 7, :]
+                else:
+                    up_re = xwin[p, o, j, 0, 9:tile + 9, :]     # m+1
+                    up_im = xwin[p, o, j, 1, 9:tile + 9, :]
+                    dn_re = xwin[p, o, j, 0, 8:tile + 8, :]     # m
+                    dn_im = xwin[p, o, j, 1, 8:tile + 8, :]
+                dirs = ((DIR_XP1, xp_re, xp_im), (DIR_YP1, up_re, up_im),
+                        (DIR_XM1, xm_re, xm_im), (DIR_YM1, dn_re, dn_im))
+                pulled.append((xr, xi, dirs))
+
+            for i in range(nc):
+                acc_re = jnp.zeros((tile, xh_len), jnp.float32)
+                acc_im = jnp.zeros((tile, xh_len), jnp.float32)
+                for j, (xr, xi, dirs) in enumerate(pulled):
+                    acc_re, acc_im = cmul_acc(
+                        acc_re, acc_im,
+                        clover_ref[q, r, i, j, 0].astype(jnp.float32),
+                        clover_ref[q, r, i, j, 1].astype(jnp.float32),
+                        xr, xi)
+                    for d, sr, si in dirs:
+                        acc_re, acc_im = cmul_acc(
+                            acc_re, acc_im,
+                            hopping_ref[d, q, r, i, j, 0].astype(
+                                jnp.float32),
+                            hopping_ref[d, q, r, i, j, 1].astype(
+                                jnp.float32),
+                            sr, si)
+                out_ref[q, r, i, 0] = acc_re
+                out_ref[q, r, i, 1] = acc_im
+
+
+def make_pallas_dslash_split_shaped(nc: int, y_len: int, xh: int,
+                                    tile: int = 16,
+                                    interpret: bool = False,
+                                    double_buffer: bool = True,
+                                    coeff_dtype=jnp.float32):
+    """Split-layout kernel factory. apply_fn(clover_split, hopping_split,
+    x_split) -> out_split, all in the (2p, 2r, ...) layout."""
+    yh_len = y_len // 2
+    n_slots = 2 if double_buffer else 1
+    csize = jnp.dtype(coeff_dtype).itemsize
+
+    def vmem_bytes(t):
+        per_row = xh * 4
+        c_row = xh * csize
+        hopping = 2 * (4 * 4 * nc * nc * 2 * t * c_row)
+        clover = 2 * (4 * nc * nc * 2 * t * c_row)
+        out = 2 * (4 * nc * 2 * t * per_row)
+        xwin = n_slots * 4 * nc * 2 * (t + 16) * per_row
+        return hopping + clover + out + xwin
+
+    step = 16 if csize < 4 else 8
+    while tile > step and vmem_bytes(tile) > 11 * 1024 * 1024:
+        tile -= step
+    if yh_len % tile:
+        tile = int(np.gcd(tile, yh_len))
+    if y_len % 2 or yh_len % 8 or tile % 8:
+        raise ValueError(
+            f"split dslash needs Y/2 and tile multiples of 8; got "
+            f"Y={y_len}, tile={tile} - use the small kernel or jnp apply")
+    if not interpret and xh % 128:
+        raise ValueError(
+            f"split dslash needs Xh a multiple of 128 lanes; got Xh={xh}")
+    if jnp.dtype(coeff_dtype).itemsize < 4 and tile % 16:
+        raise ValueError("sub-f32 coefficient dtypes need tile % 16 == 0")
+    grid = (yh_len // tile,)
+    kernel = functools.partial(_dslash_split_kernel, nc, tile, yh_len,
+                               double_buffer)
+
+    def apply_fn(clover_pl, hopping_pl, x_pl):
+        return pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(memory_space=pltpu.ANY),  # x in HBM
+                pl.BlockSpec((2, 2, nc, nc, 2, tile, xh),
+                             lambda t: (0, 0, 0, 0, 0, t, 0)),
+                pl.BlockSpec((4, 2, 2, nc, nc, 2, tile, xh),
+                             lambda t: (0, 0, 0, 0, 0, 0, t, 0)),
+            ],
+            out_specs=pl.BlockSpec((2, 2, nc, 2, tile, xh),
+                                   lambda t: (0, 0, 0, 0, t, 0)),
+            out_shape=jax.ShapeDtypeStruct((2, 2, nc, 2, yh_len, xh),
+                                           jnp.float32),
+            scratch_shapes=[
+                pltpu.VMEM((n_slots, 2, 2, nc, 2, tile + 16, xh),
+                           jnp.float32),
+                pltpu.SemaphoreType.DMA((n_slots, 3)),
+            ],
+            interpret=interpret,
+        )(x_pl, clover_pl, hopping_pl)
+
+    return apply_fn
+
+
+# ---------------------------------------------------------------------------
+# Whole-lattice VMEM-resident kernel for small / coarse lattices.
+#
+# Below Xh = 128 the windowed kernels' DMA slices cannot align to the
+# (8, 128) f32 tile, and below ~128^2 the whole problem fits in VMEM
+# anyway. This variant loads x + all coefficients as single VMEM blocks
+# (grid = 1, no manual DMA) and uses torus rolls for every pull, in the
+# same row-parity-split layout, so the ENTIRE Dslash is one fused kernel
+# - where the jnp formulation at these sizes is ~10 latency-bound HLO
+# ops. Covers the reference's recommended 64^2/128^2 operating points
+# (n13:40) and the nc=8 coarse levels of large hierarchies.
+# ---------------------------------------------------------------------------
+
+
+def _dslash_small_kernel(nc: int, x_ref, clover_ref, hopping_ref, out_ref):
+    yh_len, xh_len = x_ref.shape[-2], x_ref.shape[-1]
+
+    def cmul_acc(acc_re, acc_im, hr, hi, xr, xi):
+        return (acc_re + hr * xr - hi * xi, acc_im + hr * xi + hi * xr)
+
+    def roll_y(a, shift):
+        return pltpu.roll(a, shift % yh_len, 0) if yh_len > 1 else a
+
+    def roll_x(a, shift):
+        return pltpu.roll(a, shift % xh_len, 1) if xh_len > 1 else a
+
+    for q in (0, 1):
+        p = 1 - q
+        for r in (0, 1):
+            pulled = []
+            for j in range(nc):
+                xr = x_ref[q, r, j, 0]
+                xi = x_ref[q, r, j, 1]
+                same_re = x_ref[p, r, j, 0]
+                same_im = x_ref[p, r, j, 1]
+                if r == q:
+                    xp_re, xp_im = same_re, same_im
+                    xm_re, xm_im = roll_x(same_re, 1), roll_x(same_im, 1)
+                else:
+                    xp_re, xp_im = roll_x(same_re, -1), roll_x(same_im, -1)
+                    xm_re, xm_im = same_re, same_im
+                o = 1 - r
+                ore = x_ref[p, o, j, 0]
+                oim = x_ref[p, o, j, 1]
+                if r == 0:
+                    up_re, up_im = ore, oim                      # m
+                    dn_re, dn_im = roll_y(ore, 1), roll_y(oim, 1)  # m-1
+                else:
+                    up_re, up_im = roll_y(ore, -1), roll_y(oim, -1)  # m+1
+                    dn_re, dn_im = ore, oim                      # m
+                dirs = ((DIR_XP1, xp_re, xp_im), (DIR_YP1, up_re, up_im),
+                        (DIR_XM1, xm_re, xm_im), (DIR_YM1, dn_re, dn_im))
+                pulled.append((xr, xi, dirs))
+
+            for i in range(nc):
+                acc_re = jnp.zeros((yh_len, xh_len), jnp.float32)
+                acc_im = jnp.zeros((yh_len, xh_len), jnp.float32)
+                for j, (xr, xi, dirs) in enumerate(pulled):
+                    acc_re, acc_im = cmul_acc(
+                        acc_re, acc_im,
+                        clover_ref[q, r, i, j, 0].astype(jnp.float32),
+                        clover_ref[q, r, i, j, 1].astype(jnp.float32),
+                        xr, xi)
+                    for d, sr, si in dirs:
+                        acc_re, acc_im = cmul_acc(
+                            acc_re, acc_im,
+                            hopping_ref[d, q, r, i, j, 0].astype(
+                                jnp.float32),
+                            hopping_ref[d, q, r, i, j, 1].astype(
+                                jnp.float32),
+                            sr, si)
+                out_ref[q, r, i, 0] = acc_re
+                out_ref[q, r, i, 1] = acc_im
+
+
+def make_pallas_dslash_small_shaped(nc: int, y_len: int, xh: int,
+                                    interpret: bool = False,
+                                    coeff_dtype=jnp.float32):
+    """VMEM-resident split-layout kernel for small lattices.
+    apply_fn(clover_split, hopping_split, x_split) -> out_split."""
+    if y_len % 2:
+        raise ValueError(f"small dslash needs even Y; got {y_len}")
+    if not interpret and xh % 64:
+        # Lane rotations below 64 lanes hit a Mosaic UNIMPLEMENTED on
+        # v5e (observed: Xh=32 compiles but aborts the device at run
+        # time and can wedge the remote runtime). Keep sub-64 lane
+        # widths on the jnp apply; interpret mode (tests) is exempt.
+        raise ValueError(
+            f"small dslash needs Xh a multiple of 64 lanes on TPU; "
+            f"got Xh={xh} - use the jnp apply")
+    yh_len = y_len // 2
+    csize = jnp.dtype(coeff_dtype).itemsize
+    plane = yh_len * xh
+    total = (4 * nc * 2 * plane * 4 * 2            # x + out
+             + (4 + 16) * nc * nc * 2 * plane * csize)  # clover + hopping
+    # ~16 MB VMEM/core; grid=() does not pipeline, so blocks are single-
+    # buffered and the operands can use most of it.
+    if total > 14 * 1024 * 1024:
+        raise ValueError(
+            f"small dslash operands ({total/2**20:.1f} MiB) exceed VMEM - "
+            "use the windowed kernel")
+
+    def apply_fn(clover_pl, hopping_pl, x_pl):
+        return pl.pallas_call(
+            functools.partial(_dslash_small_kernel, nc),
+            out_shape=jax.ShapeDtypeStruct((2, 2, nc, 2, yh_len, xh),
+                                           jnp.float32),
+            interpret=interpret,
+        )(x_pl, clover_pl, hopping_pl)
+
+    return apply_fn

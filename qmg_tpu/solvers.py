@@ -24,6 +24,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -140,7 +141,14 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
 
     r0 = b - matvec(x0)
 
-    ps0 = jnp.zeros((R,) + b.shape, dtype=b.dtype)
+    # Direction store is FLAT (R, n): the multi-axis einsum form
+    # ("i...,...->i" over the 4 trailing field axes) lowers to a
+    # relayout-heavy reduction on TPU that dominated whole MG solves
+    # (measured: restart 32 -> 16 cut a 256^2 K-cycle solve 278 -> 190 ms
+    # at the identical 10-iteration trajectory). Flat (R, n) projections
+    # are plain matvecs.
+    n = int(np.prod(b.shape))
+    ps0 = jnp.zeros((R, n), dtype=b.dtype)
     aps0 = jnp.zeros_like(ps0)
     apsq0 = jnp.ones((R,), dtype=rdt)  # dummy ones to avoid 0/0
 
@@ -171,10 +179,11 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
 
         # Orthogonalize (z, Az) against stored directions (slots < j).
         valid = (jnp.arange(R) < j)
-        betas = jnp.einsum("i...,...->i", jnp.conj(aps), ap) / apsq
+        ap_flat = ap.reshape(n)
+        betas = (jnp.conj(aps) @ ap_flat) / apsq
         betas = jnp.where(valid, betas, 0.0)
-        ap = ap - jnp.tensordot(betas, aps, axes=1)
-        z = z - jnp.tensordot(betas, ps, axes=1)
+        ap = (ap_flat - betas @ aps).reshape(b.shape)
+        z = (z.reshape(n) - betas @ ps).reshape(b.shape)
 
         apsq_new = norm2sq(ap)
         alpha = vdot(ap, r) / apsq_new
@@ -182,8 +191,8 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
         r = r - alpha * ap
         rsq = norm2sq(r)
 
-        ps = jax.lax.dynamic_update_index_in_dim(ps, z, j, 0)
-        aps = jax.lax.dynamic_update_index_in_dim(aps, ap, j, 0)
+        ps = jax.lax.dynamic_update_index_in_dim(ps, z.reshape(n), j, 0)
+        aps = jax.lax.dynamic_update_index_in_dim(aps, ap.reshape(n), j, 0)
         apsq = jax.lax.dynamic_update_index_in_dim(apsq, apsq_new, j, 0)
         _verbose_print(verbose, k + 1, rsq, bsq)
         return (x, r, rsq, ps, aps, apsq, j + 1, k + 1, ops, carry)

@@ -239,6 +239,44 @@ def apply_M(coeffs: StencilCoeffs, x):
     return out
 
 
+def build_gather_apply(coeffs: StencilCoeffs):
+    """A minimum-op-count apply for small (coarse) lattices.
+
+    The roll+select neighbor pulls cost ~10 sequential HLO ops per apply;
+    on tiny coarse levels the K-cycle is bound by that op latency, not by
+    FLOPs or HBM (PERF.md). Here the four pulls collapse into ONE gather
+    against a static (precomputed, geometry-only) neighbor-index table,
+    followed by one stacked einsum and the shift add - ~4 ops total:
+
+        out[v] = sum_{s in {self, 4 nbrs}} M_s[v] . x[nbr_s(v)] + shifts
+
+    Mathematically identical to apply_M (the indices are produced by
+    cshift_pull itself applied to an iota field). Returns apply(x) or
+    None when the stencil shape doesn't qualify (no hopping / volume 1).
+    """
+    lat = coeffs.lat
+    if coeffs.hopping is None or lat.volume <= 1 or coeffs.clover is None:
+        return None
+    import numpy as np
+    with _compile_time_eval_on_host():
+        site_ids = jnp.arange(lat.volume, dtype=jnp.int32).reshape(
+            (2, lat.y_len, lat.xh))
+        nbr = [site_ids.reshape(-1)]
+        for d in ALL_DIRS:
+            nbr.append(cshift_pull(site_ids, d).reshape(-1))
+        nbr_idx = jnp.stack(nbr)  # (5, vol) static constant
+
+    def apply_fn(x):
+        nc = lat.nc
+        mats = jnp.concatenate([coeffs.clover[None], coeffs.hopping])
+        mats = mats.reshape(5, lat.volume, nc, nc)
+        xg = x.reshape(lat.volume, nc)[nbr_idx]          # (5, vol, nc)
+        out = jnp.einsum("svij,svj->vi", mats, xg).reshape(x.shape)
+        return out + apply_shift(coeffs, x)
+
+    return apply_fn
+
+
 def apply_M_ee(coeffs: StencilCoeffs, x_even):
     """Clover+shift on the even half only (reference apply_M_ee, :666-677)."""
     out = jnp.zeros_like(x_even)

@@ -116,6 +116,7 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        pallas_interpret: bool = False,
                        pallas_coeff_dtype=None,
                        pallas_kind: str = "matrix",
+                       coarse_apply: str = "jnp",
                        outer_type=None):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
@@ -134,6 +135,22 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
     Dslash inside the outer FGCR and the level-0 smoothers) through the
     fused Pallas kernel; kernel channel planes are computed once per
     solve, and per-apply layout conversions fuse into neighboring ops.
+    ``pallas_kind`` options: "matrix" (interleaved windowed kernel),
+    "matrix-split" (row-parity-split windowed kernel - pure-roll pulls),
+    "small" (VMEM-resident split kernel, covers Xh = 64),
+    "wilson-phase" (phase-streaming Wilson specialization),
+    "wilson-r1" (phase-streaming with the w=1 rank-1 projector
+    factorization - fastest fine-level kernel, pallas_wilson.py).
+
+    ``coarse_apply`` selects the COARSE levels' ORIGINAL apply
+    formulation - the K-cycle at production sizes is coarse-level
+    latency-bound (PERF.md):
+      * "jnp": the stacked-einsum apply (default);
+      * "gather": static-neighbor-table gather + one einsum (~4 ops
+        per apply instead of ~10, stencil.build_gather_apply);
+      * "small": the VMEM-resident Pallas kernel where operands fit
+        (lane padding limits it to ~16^2 at nc=8).
+    Levels whose shapes don't qualify silently keep the jnp apply.
     """
     from . import solvers
     from .stencil import StencilType
@@ -149,7 +166,7 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
     wilson_w = 1.0
     if use_pallas_fine:
         lat0 = mg.get_lattice(0)
-        if pallas_kind == "wilson-phase":
+        if pallas_kind in ("wilson-phase", "wilson-r1"):
             # Wilson-specialized phase-streaming kernel (pallas_wilson.py):
             # the spin projectors are compile-time constants; only the 4
             # U(1) phases stream, derived from the hopping matrices at
@@ -160,12 +177,16 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             if lat0.nc != 2:
                 raise ValueError("pallas_kind='wilson-phase' needs the "
                                  "fine operator to be Wilson (nc=2)")
-            from .pallas_wilson import make_pallas_wilson_shaped
+            from .pallas_wilson import (
+                make_pallas_wilson_shaped, make_pallas_wilson_rank1_shaped)
             wilson_w = float(getattr(mg.get_stencil(0), "wilson_coeff",
                                      1.0))
             mass0 = float(np.real(np.asarray(
                 mg.get_stencil(0).coeffs.shift)))
-            pallas_apply = make_pallas_wilson_shaped(
+            mk = (make_pallas_wilson_rank1_shaped
+                  if pallas_kind == "wilson-r1"
+                  else make_pallas_wilson_shaped)
+            pallas_apply = mk(
                 lat0.y_len, lat0.xh, wilson_w, mass0, tile=pallas_tile,
                 interpret=pallas_interpret)
         elif pallas_kind == "matrix":
@@ -173,6 +194,17 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             pallas_apply = make_pallas_dslash_shaped(
                 lat0.nc, lat0.y_len, lat0.xh, tile=pallas_tile,
                 interpret=pallas_interpret,
+                coeff_dtype=pallas_coeff_dtype or jnp.float32)
+        elif pallas_kind == "matrix-split":
+            from .pallas_dslash import make_pallas_dslash_split_shaped
+            pallas_apply = make_pallas_dslash_split_shaped(
+                lat0.nc, lat0.y_len, lat0.xh, tile=pallas_tile,
+                interpret=pallas_interpret,
+                coeff_dtype=pallas_coeff_dtype or jnp.float32)
+        elif pallas_kind == "small":
+            from .pallas_dslash import make_pallas_dslash_small_shaped
+            pallas_apply = make_pallas_dslash_small_shaped(
+                lat0.nc, lat0.y_len, lat0.xh, interpret=pallas_interpret,
                 coeff_dtype=pallas_coeff_dtype or jnp.float32)
         else:
             raise ValueError(f"unknown pallas_kind {pallas_kind!r}")
@@ -231,7 +263,8 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 matvec = lambda v: _apply_M(fine_coeffs, v)
             else:
                 matvec = lambda v: fine_st.apply_M(v, otype)
-            if pallas_apply is not None and pallas_kind == "wilson-phase":
+            if pallas_apply is not None and pallas_kind in (
+                    "wilson-phase", "wilson-r1"):
                 from .pallas_dslash import x_to_planes, x_from_planes
                 u_half = (-fine_st.coeffs.hopping[..., 0, 0]
                           .astype(jnp.complex64) / wilson_w)
@@ -240,6 +273,18 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 fine_st.apply_override = (
                     lambda v: x_from_planes(pallas_apply(
                         ph, x_to_planes(v))).astype(v.dtype))
+            elif pallas_apply is not None and pallas_kind in (
+                    "matrix-split", "small"):
+                from .pallas_dslash import (_channels_from_coeffs_split,
+                                            x_to_planes_split,
+                                            x_from_planes_split)
+                ck, hk = _channels_from_coeffs_split(fine_st.coeffs)
+                if pallas_coeff_dtype is not None:
+                    ck = ck.astype(pallas_coeff_dtype)
+                    hk = hk.astype(pallas_coeff_dtype)
+                fine_st.apply_override = (
+                    lambda v: x_from_planes_split(pallas_apply(
+                        ck, hk, x_to_planes_split(v))).astype(v.dtype))
             elif pallas_apply is not None:
                 from .pallas_dslash import (_channels_from_coeffs,
                                             x_to_planes, x_from_planes)
@@ -252,6 +297,35 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 fine_st.apply_override = (
                     lambda v: x_from_planes(pallas_apply(
                         ck, hk, x_to_planes(v))).astype(v.dtype))
+            if coarse_apply == "gather":
+                from .stencil import build_gather_apply
+                for lvl in range(1, n_levels):
+                    st_l = mg.get_stencil(lvl)
+                    st_l.apply_override = build_gather_apply(st_l.coeffs)
+            elif coarse_apply == "small":
+                from .pallas_dslash import (
+                    make_pallas_dslash_small_shaped,
+                    _channels_from_coeffs_split, x_to_planes_split,
+                    x_from_planes_split)
+                for lvl in range(1, n_levels):
+                    st_l = mg.get_stencil(lvl)
+                    lat_l = st_l.lat
+                    if st_l.coeffs.hopping is None or lat_l.volume <= 1:
+                        continue
+                    try:
+                        fn = make_pallas_dslash_small_shaped(
+                            lat_l.nc, lat_l.y_len, lat_l.xh,
+                            interpret=pallas_interpret)
+                    except ValueError:
+                        continue  # odd Y / too big: keep the jnp apply
+                    ckl, hkl = _channels_from_coeffs_split(st_l.coeffs)
+                    st_l.apply_override = (
+                        lambda v, fn=fn, ckl=ckl, hkl=hkl:
+                        x_from_planes_split(fn(
+                            ckl, hkl, x_to_planes_split(v))).astype(
+                                v.dtype))
+            elif coarse_apply != "jnp":
+                raise ValueError(f"unknown coarse_apply {coarse_apply!r}")
             precond = mg.make_preconditioner(0)
             carry = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
                      "iters": jnp.zeros((n_levels,), jnp.int32)}

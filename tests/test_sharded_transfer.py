@@ -19,6 +19,14 @@ from qmg_tpu import parallel
 from qmg_tpu.rng import QMGRandom
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches():
+    # See test_sharded_dslash.py: large SPMD compiles late in the
+    # session can segfault XLA's CPU compiler; start from empty caches.
+    jax.clear_caches()
+    yield
+
+
 @pytest.mark.parametrize("fine,coarse", [
     ((16, 16, 2), (4, 4, 8)),     # the n13 4x4 blocking
     ((8, 16, 3), (4, 4, 6)),      # rectangular, odd nc

@@ -165,3 +165,52 @@ def test_planes_solver_schur_outer():
     bj = jnp.asarray(b, jnp.complex64)
     resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
     assert resid < 1e-4, f"resid {resid}"
+
+
+def test_planes_solver_wilson_r1_kernel_interpret():
+    """pallas_kind='wilson-r1': the rank-1 phase kernel drives the fine
+    level inside the K-cycle; same convergence as the exact path."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0), jnp.complex64)
+    op = Wilson2D(lat, -0.05, g, dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True,
+                       inner_max_iter=2, coarsest_max_iter=4,
+                       n_pre_smooth=1, n_post_smooth=1)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = np.asarray(rng.gaussian_cv(lat))
+    sp, st = make_planes_solver(mg, tol=1e-4, max_iter=40,
+                                use_pallas_fine=True, pallas_tile=8,
+                                pallas_interpret=True,
+                                pallas_kind="wilson-r1")
+    x_p, iters, res_sq = sp(st, host_to_planes(b))
+    x = from_planes(x_p)
+    from qmg_tpu.linalg import norm2sq
+    bj = jnp.asarray(b, jnp.complex64)
+    resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
+    assert resid < 1e-3, f"resid {resid}"
+
+
+def test_planes_solver_gather_coarse_apply():
+    """coarse_apply='gather': static-neighbor-table coarse applies give
+    the identical trajectory to the jnp formulation."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    lat = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0), jnp.complex64)
+    op = Wilson2D(lat, -0.05, g, dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=2, free_null_vectors=True,
+                       inner_max_iter=2, coarsest_max_iter=4,
+                       n_pre_smooth=1, n_post_smooth=1)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = np.asarray(rng.gaussian_cv(lat))
+    sp0, st0 = make_planes_solver(mg, tol=1e-4, max_iter=40,
+                                  coarse_apply="jnp")
+    x0_p, it0, _ = sp0(st0, host_to_planes(b))
+    sp1, st1 = make_planes_solver(mg, tol=1e-4, max_iter=40,
+                                  coarse_apply="gather")
+    x1_p, it1, _ = sp1(st1, host_to_planes(b))
+    assert int(it0) == int(it1)
+    np.testing.assert_allclose(np.asarray(x1_p), np.asarray(x0_p),
+                               atol=1e-5)
