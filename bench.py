@@ -342,11 +342,15 @@ def bench_kcycle(args):
                            nullvec_max_iter=200,
                            coarsest_direct=not args.no_direct)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng)
-        # Route the fine Dslash through a fused Pallas kernel: the
-        # windowed matrix kernel when lane-aligned (Xh % 128), else the
-        # VMEM-resident small kernel where its lane guard admits the
-        # shape (Xh % 64); coarse levels go through the gather apply.
-        if args.kernel == "xla":
+        # Fine-Dslash routing (measured, PERF.md round 2): below 512^2
+        # the whole solve is coarse-level latency-bound and the planes
+        # layout conversions at the kernel boundary cost more than the
+        # kernel saves - jnp wins (256^2: 64 ms jnp vs 108 ms kernel).
+        # From 512^2 up the fine share is big enough for the rank-1
+        # phase kernel to pay (512^2: 138 ms vs 151 ms jnp). The gather
+        # coarse apply measured slower than jnp at 128^2-512^2; it
+        # remains selectable via --coarse-apply.
+        if args.kernel == "xla" or L < 512:
             use_pallas, kind = False, "matrix"
         elif lat.xh % 128 == 0 and lat.y_len % 8 == 0:
             use_pallas = True
@@ -362,8 +366,7 @@ def bench_kcycle(args):
             mg, tol=tol, max_iter=200, restart_freq=32,
             use_pallas_fine=use_pallas, pallas_kind=kind,
             pallas_tile=args.tile,
-            coarse_apply=(("jnp" if args.kernel == "xla" else "gather")
-                          if args.coarse_apply == "auto"
+            coarse_apply=("jnp" if args.coarse_apply == "auto"
                           else args.coarse_apply))
         b_p = host_to_planes(rng.gaussian_cv(lat))
 
