@@ -117,7 +117,8 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        pallas_coeff_dtype=None,
                        pallas_kind: str = "matrix",
                        coarse_apply: str = "jnp",
-                       outer_type=None):
+                       outer_type=None,
+                       mesh=None):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
@@ -151,12 +152,27 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
       * "small": the VMEM-resident Pallas kernel where operands fit
         (lane padding limits it to ~16^2 at nc=8).
     Levels whose shapes don't qualify silently keep the jnp apply.
+
+    ``mesh`` (a 2D ("y", "x") jax Mesh) makes the whole solve
+    multi-chip: the fine level's Dslash runs through the explicit
+    shard_map + ppermute halo exchange (qmg_tpu.shard_dslash) and the
+    caller places the fine-level state/rhs planes on the mesh
+    (shard_planes_state below); coarse levels replicate, Krylov
+    reductions become all-reduces under SPMD. Mutually exclusive with
+    ``use_pallas_fine`` (the fused kernels are single-chip; a sharded
+    Pallas fine kernel is future work).
     """
     from . import solvers
     from .stencil import StencilType
 
     state = mg_state_planes(mg)
     n_levels = mg.get_num_levels()
+    if mesh is not None:
+        if use_pallas_fine:
+            raise ValueError("mesh and use_pallas_fine are mutually "
+                             "exclusive (fused kernels are single-chip)")
+        from . import parallel
+        parallel.validate_mg_sharding(mg, mesh)
 
     if pallas_coeff_dtype is not None and not use_pallas_fine:
         raise ValueError("pallas_coeff_dtype requires use_pallas_fine=True "
@@ -263,7 +279,11 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 matvec = lambda v: _apply_M(fine_coeffs, v)
             else:
                 matvec = lambda v: fine_st.apply_M(v, otype)
-            if pallas_apply is not None and pallas_kind in (
+            if mesh is not None:
+                from .shard_dslash import make_sharded_dslash
+                fine_st.apply_override = make_sharded_dslash(
+                    fine_st.coeffs, mesh)
+            elif pallas_apply is not None and pallas_kind in (
                     "wilson-phase", "wilson-r1"):
                 from .pallas_dslash import x_to_planes, x_from_planes
                 u_half = (-fine_st.coeffs.hopping[..., 0, 0]
@@ -348,3 +368,33 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             mg.coarsest_dinv = saved_dinv
 
     return solve_planes, state
+
+
+def shard_planes_state(state, mesh, b_planes=None):
+    """Place a planes-solver state dict (mg_state_planes layout) on a
+    2D ("y", "x") mesh: fine-level (level 0) clover/hopping planes and
+    the rhs shard over the lattice axes, everything else replicates.
+
+    Plane layouts: clover planes (2, Y, Xh, nc, nc, 2), hopping planes
+    (4, 2, Y, Xh, nc, nc, 2), field planes (2, Y, Xh, nc, 2).
+
+    Returns the placed state (and the placed rhs when ``b_planes`` is
+    given).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def put(x, spec):
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    placed = {}
+    for k, v in state.items():
+        if k == "clover0":
+            placed[k] = put(v, P(None, "y", "x", None, None, None))
+        elif k == "hopping0":
+            placed[k] = put(v, P(None, None, "y", "x", None, None, None))
+        else:
+            placed[k] = put(v, P())
+    if b_planes is None:
+        return placed
+    b_placed = put(b_planes, P(None, "y", "x", None, None))
+    return placed, b_placed

@@ -214,3 +214,44 @@ def test_planes_solver_gather_coarse_apply():
     assert int(it0) == int(it1)
     np.testing.assert_allclose(np.asarray(x1_p), np.asarray(x0_p),
                                atol=1e-5)
+
+
+def test_planes_solver_on_mesh():
+    """Whole planes solve sharded over the virtual 8-device mesh: the
+    fine Dslash goes through shard_map + ppermute, state/rhs planes are
+    mesh-placed, and the trajectory matches the unsharded planes solve
+    iteration-for-iteration."""
+    import jax
+    from qmg_tpu import parallel
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.tpu_compat import shard_planes_state
+    if len(jax.devices()) < 8:
+        import pytest as _pytest
+        _pytest.skip("needs 8 virtual devices")
+    jax.clear_caches()  # big SPMD compile: see test_sharded_dslash.py
+    mesh = parallel.make_mesh(8)
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0), jnp.complex64)
+    op = Wilson2D(lat, -0.05, g, dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, nullvec_max_iter=100,
+                       nullvec_tol=1e-3, inner_max_iter=2,
+                       coarsest_max_iter=4, n_pre_smooth=1,
+                       n_post_smooth=1)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = np.asarray(rng.gaussian_cv(lat))
+    b_p = host_to_planes(b)
+
+    sp0, st0 = make_planes_solver(mg, tol=1e-4, max_iter=40)
+    x0_p, it0, _ = jax.jit(sp0)(st0, b_p)
+
+    spm, stm = make_planes_solver(mg, tol=1e-4, max_iter=40, mesh=mesh)
+    stm_placed, b_placed = shard_planes_state(stm, mesh, b_p)
+    xm_p, itm, _ = jax.jit(spm)(stm_placed, b_placed)
+
+    assert int(itm) == int(it0)
+    np.testing.assert_allclose(np.asarray(xm_p), np.asarray(x0_p),
+                               atol=2e-5)
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        make_planes_solver(mg, use_pallas_fine=True, mesh=mesh)
