@@ -46,6 +46,13 @@ def main(argv=None):
                         "kernel, or the jnp/XLA path")
     p.add_argument("--tile", type=int, default=32,
                    help="Pallas Y-tile rows")
+    p.add_argument("--setup", default="host", choices=["host", "device"],
+                   help="kcycle mode: where the hierarchy setup runs. "
+                        "'host' = eager CPU build (exact fp64-grade "
+                        "flow); 'device' = the whole setup jitted onto "
+                        "the accelerator (setup_planes), with a cheap "
+                        "structure-only scaffold on the host - the only "
+                        "practical path at >= 1024^2")
     p.add_argument("--coarse-apply", default="auto",
                    choices=["auto", "jnp", "gather", "small"],
                    help="kcycle mode: coarse-level ORIGINAL apply "
@@ -341,7 +348,8 @@ def bench_kcycle(args):
         cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
                            nullvec_max_iter=200,
                            coarsest_direct=not args.no_direct)
-        mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+        mg = build_kcycle_hierarchy(lat, op, cfg, rng,
+                                    structure_only=args.setup == "device")
         # Fine-Dslash routing (measured, PERF.md round 2): below 512^2
         # the whole solve is coarse-level latency-bound and the planes
         # layout conversions at the kernel boundary cost more than the
@@ -371,7 +379,28 @@ def bench_kcycle(args):
         b_p = host_to_planes(rng.gaussian_cv(lat))
 
     solve_jit = jax.jit(solve_planes)
-    state_dev = jax.device_put(state)
+    if args.setup == "device":
+        # Device-resident setup: null-vector solves, block ortho, the
+        # Galerkin coarse build and the dense coarsest inverse all jit
+        # onto the accelerator; only gaussian seeds come from the host
+        # rng stream (setup_planes.py).
+        from qmg_tpu.setup_planes import (make_kcycle_setup_planes,
+                                          gauss_seed_planes)
+        setup_fn = jax.jit(make_kcycle_setup_planes(lat, cfg, -0.06))
+        seeds = gauss_seed_planes(lat, cfg, rng)
+        gauge_p = host_to_planes(np.asarray(gauge))
+        t0 = time.perf_counter()
+        state = setup_fn(gauge_p, *seeds)
+        state = {k: v.block_until_ready() for k, v in state.items()}
+        # axon's block_until_ready does not reliably sync; force one
+        # scalar readback for honest timing.
+        float(jnp.sum(jnp.abs(state[f"nvb{cfg.n_refine - 1}"])))
+        t_setup = time.perf_counter() - t0
+        print(f"# kcycle {L}x{L} device setup (incl. compile): "
+              f"{t_setup:.1f} s", file=sys.stderr)
+        state_dev = state
+    else:
+        state_dev = jax.device_put(state)
     b_dev = jax.device_put(b_p)
     xp, iters, res_sq = solve_jit(state_dev, b_dev)
     int(iters)  # sync warmup

@@ -298,8 +298,18 @@ def finalize_adaptive(mg: StatefulMultigridMG, acfg: AdaptiveConfig):
 
 def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
                            cfg: KCycleConfig, rng,
-                           is_chiral: bool = True) -> StatefulMultigridMG:
-    """Construct the full n13 hierarchy (reference n13:233-416)."""
+                           is_chiral: bool = True,
+                           structure_only: bool = False
+                           ) -> StatefulMultigridMG:
+    """Construct the full n13 hierarchy (reference n13:233-416).
+
+    ``structure_only`` skips the null-vector solves and uses
+    orthogonalized gaussians directly - the hierarchy has the right
+    SHAPES but preconditions poorly. Use it as the static scaffold for
+    tpu_compat.make_planes_solver when the real state comes from the
+    device-resident setup (setup_planes.make_kcycle_setup_planes),
+    which replaces every complex array at solve time.
+    """
     coarsest = CoarsestSolveMG(
         coarsest_stencil_app=cfg.coarsest_stencil_app,
         coarsest_tol=cfg.coarsest_tol,
@@ -332,6 +342,15 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
             for c in range(cfg.coarse_dof):
                 nv = nv.at[c, ..., c % nc].set(1.0)
             raw = nv
+        elif structure_only:
+            gs = [jnp.asarray(rng.gaussian_cv(lat_prev))
+                  for _ in range(cfg.coarse_dof // 2)]
+            vecs = []
+            for g in gs:
+                for v in vecs:
+                    g = orthogonal(g, v)
+                vecs.append(g)
+            raw = chiral_double(stencil, jnp.stack(vecs))
         else:
             vecs, ops = generate_null_vectors(
                 stencil, cfg.coarse_dof // 2, rng,
