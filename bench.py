@@ -345,8 +345,13 @@ def bench_kcycle(args):
             gauge = jnp.asarray(u1.gauss_gauge_u1(lat, rng, 6.0),
                                 dtype=jnp.complex64)
         op = Wilson2D(lat, -0.06, gauge, dtype=jnp.complex64)
-        cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
-                           nullvec_max_iter=200,
+        # Depth scales with L so the coarsest level stays tiny: the
+        # direct coarsest densify probes the full coarsest basis, and
+        # a 64^2 x nc8 coarsest (L=1024 at n_refine=2) would mean
+        # 32768 probes + an 8 GB dense inverse.
+        n_refine = 2 if L <= 256 else (3 if L <= 1024 else 4)
+        cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8,
+                           nullvec_tol=5e-4, nullvec_max_iter=200,
                            coarsest_direct=not args.no_direct)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng,
                                     structure_only=args.setup == "device")
@@ -386,12 +391,14 @@ def bench_kcycle(args):
         # rng stream (setup_planes.py).
         from qmg_tpu.setup_planes import (make_kcycle_setup_planes,
                                           gauss_seed_planes)
-        setup_fn = jax.jit(make_kcycle_setup_planes(lat, cfg, -0.06))
+        setup_fn = make_kcycle_setup_planes(lat, cfg, -0.06)
         seeds = gauss_seed_planes(lat, cfg, rng)
         gauge_p = host_to_planes(np.asarray(gauge))
         t0 = time.perf_counter()
         state = setup_fn(gauge_p, *seeds)
-        state = {k: v.block_until_ready() for k, v in state.items()}
+        state = {k: (v.block_until_ready()
+                     if hasattr(v, "block_until_ready") else v)
+                 for k, v in state.items()}
         # axon's block_until_ready does not reliably sync; force one
         # scalar readback for honest timing.
         float(jnp.sum(jnp.abs(state[f"nvb{cfg.n_refine - 1}"])))

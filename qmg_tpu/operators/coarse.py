@@ -61,6 +61,18 @@ def build_coarse_coeffs(coarse_lat: Lattice2D, fine_coeffs: StencilCoeffs,
 
     colors = jnp.arange(nc)
 
+    # Each probe materializes fine-lattice-sized prolong/apply/restrict
+    # temporaries; vmapping all nc colors multiplies the peak working
+    # set by nc. On large fine lattices (>= 2^19 sites) that exhausts
+    # HBM inside the device-resident setup, so chunk the color loop
+    # with lax.map instead - same results, nc/2 x smaller peak.
+    _big = transfer.fine_lat.volume >= (1 << 19)
+
+    def _map_colors(fn):
+        if _big:
+            return jax.lax.map(fn, colors, batch_size=2)
+        return jax.vmap(fn)(colors)
+
     clover = jnp.zeros(coarse_lat.cm_shape(), dtype=dtype)
     hopping = jnp.zeros(coarse_lat.hopping_shape(), dtype=dtype)
 
@@ -71,7 +83,7 @@ def build_coarse_coeffs(coarse_lat: Lattice2D, fine_coeffs: StencilCoeffs,
         afine = apply_clover(fine_coeffs, fine)
         return transfer.restrict_f2c(afine)  # (..., row_color)
 
-    res = jax.vmap(clover_probe)(colors)  # (col_color, 2, Yc, Xhc, row)
+    res = _map_colors(clover_probe)  # (col_color, 2, Yc, Xhc, row)
     clover = clover + jnp.moveaxis(res, 0, -1)  # (..., row, col)
 
     if fine_coeffs.hopping is None:
@@ -86,7 +98,7 @@ def build_coarse_coeffs(coarse_lat: Lattice2D, fine_coeffs: StencilCoeffs,
             afine = apply_hopping(fine_coeffs, fine)
             return transfer.restrict_f2c(afine)
 
-        res = jax.vmap(hop_probe)(colors)
+        res = _map_colors(hop_probe)
         clover = clover + jnp.moveaxis(res, 0, -1)
         return make_coeffs(coarse_lat, clover=clover, hopping=hopping,
                            shift=fine_coeffs.shift, dtype=dtype)
@@ -101,7 +113,7 @@ def build_coarse_coeffs(coarse_lat: Lattice2D, fine_coeffs: StencilCoeffs,
                 afine = apply_hopping(fine_coeffs, fine, direction=d)
                 return transfer.restrict_f2c(afine)
 
-            res = jax.vmap(hop_dir_probe)(colors)
+            res = _map_colors(hop_dir_probe)
             res = jnp.moveaxis(res, 0, -1)  # (2, Yc, Xhc, row, col)
             # Same-parity responses -> clover (within-aggregate coupling).
             clover = clover.at[parity].add(res[parity])

@@ -82,14 +82,23 @@ def _direct_coarsest_dinv_traced(mg: StatefulMultigridMG, dtype):
 
 
 def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
-                             w: float = 1.0, dtype=jnp.complex64):
-    """Returns ``setup_fn(gauge_planes, *gauss_planes) -> state`` -- a
-    fully jittable n13 setup producing the make_planes_solver state dict
-    on-device.
+                             w: float = 1.0, dtype=jnp.complex64,
+                             per_level_jit: bool = True):
+    """Returns ``setup_fn(gauge_planes, *gauss_planes) -> state`` -- the
+    n13 setup running on-device, producing the make_planes_solver state
+    dict.
 
     ``gauge_planes``: (2, 2, Y, Xh, 2) f32 planes of the U(1) links.
     ``gauss_planes``: one (n_half, cv_shape..., 2) f32 plane array per
     refinement level (gauss_seed_planes above).
+
+    ``per_level_jit`` (default): setup_fn is a host-side driver calling
+    one jitted stage per refinement level (plus one for the coarsest
+    inverse); only f32 planes cross stage boundaries, intermediates stay
+    on device. This keeps each XLA module small - the monolithic
+    whole-setup jit (per_level_jit=False) crashed the remote TPU
+    compiler at 1024^2 and costs ~9 min of compile at 512^2. With
+    per_level_jit the returned setup_fn must NOT be wrapped in jax.jit.
 
     Pair it with a cheap *structure* hierarchy on the host
     (setup.build_kcycle_hierarchy(..., structure_only=True)) that gives
@@ -101,9 +110,147 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
         raise ValueError("make_kcycle_setup_planes builds the Wilson n13 "
                          f"flow; fine nc must be 2, got {lat0.nc}")
     lats = _level_lattices(lat0, cfg)
+    if cfg.coarsest_direct:
+        ncoarsest = int(np.prod(lats[-1].cv_shape()))
+        if ncoarsest > 4096:
+            raise ValueError(
+                f"coarsest dimension {ncoarsest} too large for the "
+                "device-resident direct inverse (densify probes the "
+                "full basis; an 8 GB dense inverse at dim 32768 is "
+                "infeasible) - use a deeper hierarchy (larger "
+                "n_refine) or coarsest_direct=False")
     n_half = cfg.coarse_dof // 2
     from .operators.wilson import Wilson2D
+    from .operators.coarse import CoarseOperator2D
+    from .stencil import Stencil2D, make_coeffs, DefaultChirality
     from .multigrid import PRECOND_RIGHT_BLOCK_JACOBI, PRECOND_ORIGINAL
+
+    def _solve_null_vectors(fine_st, gauss):
+        """Reference n13:338-371 null-vector flow on one level."""
+        matvec = fine_st.get_apply_function(StencilType(cfg.nullvec_stype))
+        vecs = []
+        for k in range(n_half):
+            g = gauss[k]
+            for v in vecs:
+                g = orthogonal(g, v)
+            rhs = -matvec(g)
+            if cfg.nullvec_solver == "bicgstab_l":
+                res = solvers.bicgstab_l(
+                    matvec, rhs, max_iter=cfg.nullvec_max_iter,
+                    tol=cfg.nullvec_tol)
+            elif cfg.nullvec_solver == "gcr_restart":
+                res = solvers.gcr_restart(
+                    matvec, rhs, max_iter=cfg.nullvec_max_iter,
+                    tol=cfg.nullvec_tol, restart_freq=64)
+            else:
+                raise ValueError(
+                    f"unknown null-vector solver {cfg.nullvec_solver}")
+            v = g + res.x
+            for wv in vecs:
+                v = orthogonal(v, wv)
+            vecs.append(v)
+        return vecs
+
+    def _level_outputs(i, fine_st, gauss):
+        """Null vectors + transfer + Galerkin coarse build for level i;
+        returns (nvb_planes, coarse_clover_p, coarse_hopping_p,
+        coarse_shifts_p)."""
+        vecs = _solve_null_vectors(fine_st, gauss)
+        raw = chiral_double(fine_st, jnp.stack(vecs))
+        transfer = TransferMG(lats[i - 1], lats[i], raw,
+                              do_block_ortho=True,
+                              doubling=DoublingType.PROJECTION)
+        coarse = CoarseOperator2D(
+            lats[i], fine_st, transfer, is_chiral=True,
+            use_rbjacobi=cfg.precond_coarsen_rbjacobi,
+            build_extra=cfg.build_extra)
+        cc = coarse.coeffs
+        return (to_planes(transfer._nvb.astype(dtype)),
+                to_planes(cc.clover.astype(dtype)),
+                to_planes(cc.hopping.astype(dtype)),
+                to_planes(jnp.stack([jnp.asarray(cc.shift, dtype),
+                                     jnp.asarray(cc.eo_shift, dtype),
+                                     jnp.asarray(cc.dof_shift, dtype)])))
+
+    def _reconstruct_stencil(lvl, clover_p, hopping_p, shifts_p):
+        """checkpoint.py's __new__ reconstruction: a CoarseOperator2D
+        from its coefficient planes (chirality metadata is static)."""
+        sh = from_planes(shifts_p)
+        st = CoarseOperator2D.__new__(CoarseOperator2D)
+        Stencil2D.__init__(st, make_coeffs(
+            lats[lvl], clover=from_planes(clover_p).astype(dtype),
+            hopping=from_planes(hopping_p).astype(dtype),
+            shift=sh[0], eo_shift=sh[1], dof_shift=sh[2], dtype=dtype))
+        st.is_chiral = True
+        st.use_rbjacobi = cfg.precond_coarsen_rbjacobi
+        st.in_transfer = None
+        st._default_chirality = DefaultChirality.GAMMA_5
+        st._sigma_1_L = None
+        st._sigma_1_R = None
+        return st
+
+    if per_level_jit:
+        def _level1_fn(gauge_planes, gauss_p):
+            gauge = from_planes(gauge_planes).astype(dtype)
+            op = Wilson2D(lat0, mass, gauge, wilson_coeff=w, dtype=dtype)
+            gs = from_planes(gauss_p).astype(dtype)
+            outs = _level_outputs(1, op, gs)
+            return (to_planes(op.coeffs.clover.astype(dtype)),
+                    to_planes(op.coeffs.hopping.astype(dtype))) + outs
+
+        def _mk_level_fn(i):
+            def _level_fn(clover_p, hopping_p, shifts_p, gauss_p):
+                fine_st = _reconstruct_stencil(i - 1, clover_p, hopping_p,
+                                               shifts_p)
+                gs = from_planes(gauss_p).astype(dtype)
+                return _level_outputs(i, fine_st, gs)
+            return _level_fn
+
+        def _cdinv_fn(clover_p, hopping_p, shifts_p):
+            st = _reconstruct_stencil(cfg.n_refine, clover_p, hopping_p,
+                                      shifts_p)
+            cs_app = StencilType(cfg.coarsest_stencil_app)
+            matvec = st.get_apply_function(cs_app)
+            shape = lats[-1].cv_shape()
+            n = int(np.prod(shape))
+            basis = jnp.eye(n, dtype=dtype).reshape((n,) + tuple(shape))
+            cols = jax.lax.map(lambda v: matvec(v).reshape(n), basis,
+                               batch_size=min(n, 256))
+            mat = cols.T
+            dead = ((jnp.abs(mat).sum(axis=1) == 0)
+                    & (jnp.abs(mat).sum(axis=0) == 0))
+            mat = mat + jnp.diag(dead.astype(mat.dtype))
+            return to_planes(jnp.linalg.inv(mat))
+
+        level1_jit = jax.jit(_level1_fn)
+        level_jits = [jax.jit(_mk_level_fn(i))
+                      for i in range(2, cfg.n_refine + 1)]
+        cdinv_jit = jax.jit(_cdinv_fn)
+
+        def setup_fn(gauge_planes, *gauss_planes):
+            if len(gauss_planes) != cfg.n_refine:
+                raise ValueError(f"need {cfg.n_refine} gauss seed arrays, "
+                                 f"got {len(gauss_planes)}")
+            state = {}
+            state["shifts0"] = host_to_planes(np.asarray(
+                [complex(mass), 0j, 0j], np.complex64))
+            (state["clover0"], state["hopping0"], state["nvb0"],
+             state["clover1"], state["hopping1"],
+             state["shifts1"]) = level1_jit(gauge_planes, gauss_planes[0])
+            for i in range(2, cfg.n_refine + 1):
+                (state[f"nvb{i - 1}"], state[f"clover{i}"],
+                 state[f"hopping{i}"], state[f"shifts{i}"]) = \
+                    level_jits[i - 2](
+                        state[f"clover{i - 1}"], state[f"hopping{i - 1}"],
+                        state[f"shifts{i - 1}"], gauss_planes[i - 1])
+            if cfg.coarsest_direct:
+                n = cfg.n_refine
+                state["cdinv"] = cdinv_jit(
+                    state[f"clover{n}"], state[f"hopping{n}"],
+                    state[f"shifts{n}"])
+            return state
+
+        return setup_fn
 
     def setup_fn(gauge_planes, *gauss_planes):
         if len(gauss_planes) != cfg.n_refine:

@@ -47,7 +47,7 @@ def test_traced_setup_state_galerkin_oracle():
     gauge = u1.gauss_gauge_u1(lat, rng, beta=6.0)
     seeds = gauss_seed_planes(lat, cfg, QMGRandom(999))
     setup_fn = make_kcycle_setup_planes(lat, cfg, MASS)
-    state = jax.jit(setup_fn)(host_to_planes(np.asarray(gauge)), *seeds)
+    state = setup_fn(host_to_planes(np.asarray(gauge)), *seeds)
 
     from qmg_tpu.stencil import make_coeffs, apply_M
     from qmg_tpu.transfer import TransferMG, DoublingType
@@ -108,7 +108,21 @@ def test_traced_setup_state_drives_planes_solver():
 
     setup_fn = make_kcycle_setup_planes(lat, cfg, MASS)
     seeds = gauss_seed_planes(lat, cfg, QMGRandom(999))
-    state = jax.jit(setup_fn)(host_to_planes(np.asarray(gauge)), *seeds)
+    state = setup_fn(host_to_planes(np.asarray(gauge)), *seeds)
+
+    # Monolithic single-jit variant produces an equivalent state
+    # (the per-level default chains smaller XLA modules).
+    setup_mono = make_kcycle_setup_planes(lat, cfg, MASS,
+                                          per_level_jit=False)
+    state_mono = jax.jit(setup_mono)(host_to_planes(np.asarray(gauge)),
+                                     *seeds)
+    assert set(state_mono) == set(state)
+    for k in sorted(state):
+        np.testing.assert_allclose(
+            np.asarray(state_mono[k]), np.asarray(state[k]),
+            atol=2e-2 * max(float(np.max(np.abs(np.asarray(state[k])))),
+                            1e-3),
+            err_msg=f"monolithic vs per-level setup diverged at {k}")
 
     b = np.asarray(rng.gaussian_cv(lat))
     x_p, iters, rsq = jax.jit(sp)(state, host_to_planes(b))
