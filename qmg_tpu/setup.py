@@ -343,14 +343,55 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
                 nv = nv.at[c, ..., c % nc].set(1.0)
             raw = nv
         elif structure_only:
-            gs = [jnp.asarray(rng.gaussian_cv(lat_prev))
-                  for _ in range(cfg.coarse_dof // 2)]
-            vecs = []
-            for g in gs:
-                for v in vecs:
-                    g = orthogonal(g, v)
-                vecs.append(g)
-            raw = chiral_double(stencil, jnp.stack(vecs))
+            # Shape-only scaffold (checkpoint.py's __new__ reconstruction
+            # pattern): zero blocked null vectors, identity coarse
+            # clover, zero coarse hopping - no solves, no block ortho,
+            # no Galerkin probing. Every complex array is replaced at
+            # solve time by the device-resident setup's state
+            # (setup_planes.make_kcycle_setup_planes).
+            from .operators.coarse import CoarseOperator2D
+            from .stencil import (Stencil2D as _Stencil2D, make_coeffs,
+                                  DefaultChirality)
+            from . import linalg as _linalg
+            t = TransferMG.__new__(TransferMG)
+            t.fine_lat = lat_prev
+            t.coarse_lat = lat_i
+            t.doubling = DoublingType.PROJECTION
+            t._init_geometry()
+            t._nvb = t._to_blocked_batch(jnp.zeros(
+                (cfg.coarse_dof,) + lat_prev.cv_shape(),
+                dtype=jnp.complex64))
+            t._restrict_nvb = None
+            t.block_cholesky = t.block_L = t.block_U = None
+
+            st = CoarseOperator2D.__new__(CoarseOperator2D)
+            clover = _linalg.identity_like(
+                jnp.zeros(lat_i.cm_shape(), jnp.complex64))
+            hopping = jnp.zeros((4,) + lat_i.cm_shape(), jnp.complex64)
+            _Stencil2D.__init__(st, make_coeffs(
+                lat_i, clover=clover, hopping=hopping, shift=0.0,
+                dtype=jnp.complex64))
+            st.is_chiral = is_chiral
+            st.use_rbjacobi = cfg.precond_coarsen_rbjacobi
+            st.in_transfer = t
+            st._default_chirality = DefaultChirality.GAMMA_5
+            st._sigma_1_L = None
+            st._sigma_1_R = None
+
+            level_solve = LevelSolveMG(
+                fine_stencil_app=cfg.fine_stencil_app,
+                intermediate_tol=cfg.inner_tol,
+                intermediate_iters=cfg.inner_max_iter,
+                intermediate_restart_freq=cfg.inner_restart_freq,
+                pre_tol=cfg.pre_smooth_tol, pre_iters=cfg.n_pre_smooth,
+                post_tol=cfg.post_smooth_tol,
+                post_iters=cfg.n_post_smooth)
+            mg.push_level(lat_i, t, level_solve, build_stencil=False,
+                          is_chiral=is_chiral)
+            mg.stencil_list[i] = st
+            mg.is_stencil_managed[i] = True
+            lat_prev = lat_i
+            continue
         else:
             vecs, ops = generate_null_vectors(
                 stencil, cfg.coarse_dof // 2, rng,
