@@ -403,8 +403,17 @@ def bench_kcycle(args):
         # scalar readback for honest timing.
         float(jnp.sum(jnp.abs(state[f"nvb{cfg.n_refine - 1}"])))
         t_setup = time.perf_counter() - t0
+        # Warm setup: the per-configuration rebuild cost of an n16-style
+        # measurement stream (compile cached, fresh seeds).
+        seeds2 = gauss_seed_planes(lat, cfg, QMGRandom(7))
+        t0 = time.perf_counter()
+        state2 = setup_fn(gauge_p, *seeds2)
+        float(jnp.sum(jnp.abs(state2[f"nvb{cfg.n_refine - 1}"])))
+        t_setup2 = time.perf_counter() - t0
         print(f"# kcycle {L}x{L} device setup (incl. compile): "
-              f"{t_setup:.1f} s", file=sys.stderr)
+              f"{t_setup:.1f} s; warm setup (per-config rebuild): "
+              f"{t_setup2:.2f} s", file=sys.stderr)
+        del state2
         state_dev = state
     else:
         state_dev = jax.device_put(state)
