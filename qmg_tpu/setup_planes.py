@@ -111,6 +111,13 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                          f"flow; fine nc must be 2, got {lat0.nc}")
     lats = _level_lattices(lat0, cfg)
     if cfg.coarsest_direct:
+        from .stencil import StencilType as _ST
+        if _ST(cfg.coarsest_stencil_app) == _ST.RIGHT_SCHUR:
+            raise ValueError(
+                "coarsest_direct with a RIGHT_SCHUR coarsest app is not "
+                "supported (the Schur apply acts on the even half; the "
+                "dense inverse probes the full space) - use "
+                "coarsest_direct=False for the n19 configuration")
         ncoarsest = int(np.prod(lats[-1].cv_shape()))
         if ncoarsest > 4096:
             raise ValueError(

@@ -253,6 +253,11 @@ class StatefulMultigridMG(MultigridMG):
         quality over the reference's tol-0.2 CGNR."""
         from . import eig
         cs = self.coarsest_solve
+        if StencilType(cs.coarsest_stencil_app) == StencilType.RIGHT_SCHUR:
+            raise ValueError(
+                "coarsest_direct with a RIGHT_SCHUR coarsest app is not "
+                "supported (the Schur apply acts on the even half; the "
+                "dense inverse probes the full space)")
         st = self.get_stencil(self.get_num_levels() - 1)
         matvec = st.get_apply_function(StencilType(cs.coarsest_stencil_app))
         shape = st.lat.cv_shape()

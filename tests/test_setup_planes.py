@@ -137,3 +137,40 @@ def test_traced_setup_state_drives_planes_solver():
     assert int(iters) < int(iters2), (
         f"traced-setup state ({int(iters)} iters) should beat the "
         f"gaussian scaffold ({int(iters2)})")
+
+
+def test_traced_setup_n19_schur_config():
+    """Device setup under the n19 configuration: rbjacobi null-vector
+    stype (traced batched-QR derived build), rbjacobi coarsening, Schur
+    outer solve through the planes boundary."""
+    from qmg_tpu.stencil import StencilType
+    from qmg_tpu.operators.coarse import CoarseOperator2D
+    cfg = KCycleConfig(
+        n_refine=1, coarse_dof=4, nullvec_max_iter=150, nullvec_tol=1e-3,
+        fine_stencil_app=StencilType.RIGHT_SCHUR,
+        coarsest_stencil_app=StencilType.RIGHT_SCHUR,
+        nullvec_stype=StencilType.RIGHT_JACOBI,
+        nullvec_solver="gcr_restart",
+        precond_coarsen_rbjacobi=True,
+        build_extra=CoarseOperator2D.BUILD_RBJACOBI,
+        coarsest_direct=False)  # Schur coarsest is half-space; no direct
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    gauge = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, MASS, jnp.asarray(gauge, jnp.complex64),
+                  dtype=jnp.complex64)
+
+    mg_struct = build_kcycle_hierarchy(lat, op, cfg, QMGRandom(1),
+                                       structure_only=True)
+    sp, _ = make_planes_solver(mg_struct, tol=1e-6, max_iter=150,
+                               outer_type=StencilType.RIGHT_SCHUR)
+    setup_fn = make_kcycle_setup_planes(lat, cfg, MASS)
+    seeds = gauss_seed_planes(lat, cfg, QMGRandom(999))
+    state = setup_fn(host_to_planes(np.asarray(gauge)), *seeds)
+    b = np.asarray(rng.gaussian_cv(lat))
+    x_p, iters, rsq = jax.jit(sp)(state, host_to_planes(b))
+    x = from_planes(x_p)
+    bj = jnp.asarray(b, jnp.complex64)
+    resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
+    assert resid < 1e-5, f"true resid {resid}"
+    assert int(iters) < 100
