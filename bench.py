@@ -31,7 +31,7 @@ from qmg_tpu.operators.wilson import wilson_coeffs_numpy
 def main(argv=None):
     p = argparse.ArgumentParser()
     p.add_argument("--size", type=int, default=2048)
-    p.add_argument("--iters", type=int, default=200)
+    p.add_argument("--iters", type=int, default=400)
     p.add_argument("--warmup", type=int, default=1)
     p.add_argument("--mode", choices=["dslash", "kcycle"], default="dslash")
     p.add_argument("--kernel",

@@ -8,3 +8,5 @@ test-local FreeLaplace2D (tests/n02_free_laplace_test/free_laplace.h).
 from .laplace import FreeLaplace2D, GaugedLaplace2D
 from .staggered import Staggered2D
 from .wilson import Wilson2D
+from .coarse import CoarseOperator2D, build_coarse_coeffs
+from .dwf import Dwf2D, create_dwf_ls
