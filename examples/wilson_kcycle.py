@@ -43,6 +43,11 @@ def main():
                    help="print the full fine + coarsened spectra "
                         "(reference n13 do_spectrum, wilson_kcycle.cpp:"
                         "482-522)")
+    p.add_argument("--colinear-nev", type=int, default=64,
+                   help="number of lowest-|lambda| eigenvectors in the "
+                        "--colinear study (0 = the full spectrum, the "
+                        "reference behavior; each vector costs a coarse "
+                        "solve)")
     p.add_argument("--colinear", action="store_true",
                    help="per-eigenvector colinearity checks "
                         "||(1-PP^t)v|| and ||(1-P A_c^-1 P^t A)v|| "
@@ -148,7 +153,9 @@ def main():
         order = np.argsort(np.abs(evals))
         evals, evecs = evals[order], evecs[order]
         coarse_mv = st1.get_apply_function()
-        for i in range(evecs.shape[0]):
+        nev = (evecs.shape[0] if args.colinear_nev == 0
+               else min(args.colinear_nev, evecs.shape[0]))
+        for i in range(nev):
             v = jnp.asarray(evecs[i])
             nv = float(jnp.sqrt(norm2sq(v)))
             pdag_v = transfer.restrict_f2c(v)
