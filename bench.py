@@ -33,7 +33,8 @@ def main(argv=None):
     p.add_argument("--size", type=int, default=2048)
     p.add_argument("--iters", type=int, default=400)
     p.add_argument("--warmup", type=int, default=1)
-    p.add_argument("--mode", choices=["dslash", "kcycle"], default="dslash")
+    p.add_argument("--mode", choices=["dslash", "kcycle", "refine"],
+                   default="dslash")
     p.add_argument("--kernel",
                    choices=["phase-r1", "phase-split", "phase", "pallas",
                             "split", "small", "xla"],
@@ -85,6 +86,8 @@ def main_with_args(args):
 
     if args.mode == "kcycle":
         return bench_kcycle(args)
+    if args.mode == "refine":
+        return bench_refine(args)
 
     L = args.size
     lat = Lattice2D(L, L, 2)
@@ -434,6 +437,64 @@ def bench_kcycle(args):
         "value": round(dt * 1e3, 2),
         "unit": "ms",
         "vs_baseline": round(dt * 1e3 / max(n_it, 1), 3),
+    }))
+
+
+def bench_refine(args):
+    """The n13 fp64 contract on the TPU (VERDICT r2 item 2): c64 planes
+    K-cycle inner solves + host-fp64 defect correction to TRUE relative
+    residual 1e-10 (tpu_compat.make_refined_planes_solver). Reports
+    total wall time; vs_baseline carries the outer (refinement) pass
+    count."""
+    import os
+    import jax
+    import jax.numpy as jnp
+    from qmg_tpu.lattice import Lattice2D
+    from qmg_tpu.operators import Wilson2D
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.tpu_compat import make_refined_planes_solver
+    from qmg_tpu import u1
+    from qmg_tpu.rng import QMGRandom
+
+    L = args.size
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        path = ("/root/reference/tests/common_cfgs_u1/"
+                f"l{L}t{L}b60_heatbath.dat")
+        if os.path.exists(path):
+            gauge = jnp.asarray(u1.read_gauge_u1(lat, path),
+                                dtype=jnp.complex64)
+        else:
+            gauge = jnp.asarray(u1.gauss_gauge_u1(lat, rng, 6.0),
+                                dtype=jnp.complex64)
+        op = Wilson2D(lat, -0.06, gauge, dtype=jnp.complex64)
+        n_refine = 2 if L <= 256 else (3 if L <= 1024 else 4)
+        cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8,
+                           nullvec_tol=5e-4, nullvec_max_iter=200,
+                           coarsest_direct=not args.no_direct)
+        mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+        solve, state = make_refined_planes_solver(
+            mg, tol=1e-10, inner_tol=1e-5, max_iter=200, restart_freq=32)
+        b = np.asarray(rng.gaussian_cv(lat))
+
+    state_dev = jax.device_put(state)
+    res = solve(b, state=state_dev)  # warmup incl. compile
+    t0 = time.perf_counter()
+    res = solve(b, state=state_dev)
+    dt = time.perf_counter() - t0
+    print(f"# wilson refined {L}x{L}: {res.outer_iters} outer passes, "
+          f"{res.inner_iters} inner iters, TRUE fp64 resid "
+          f"{res.rel_resid:.3e} (target 1e-10, converged={res.converged}) "
+          f"in {dt*1e3:.1f} ms on {jax.devices()[0].device_kind}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "wilson_refined_1e10_solve_time",
+        "value": round(dt * 1e3, 2),
+        "unit": "ms",
+        "vs_baseline": res.outer_iters,
     }))
 
 

@@ -20,6 +20,7 @@ Layer map (mirrors SURVEY.md section 1):
     eig       - eigensolvers (ARPACK-interface equivalent)
     reductions- timeslice reductions, wall sources
     parallel  - device-mesh sharding (ICI halo exchange)
+    refine    - mixed-precision iterative refinement (fp64 contract on TPU)
 
 Double precision requires ``jax.config.update("jax_enable_x64", True)``
 before first use (numerics parity with the reference is at fp64).
@@ -27,6 +28,6 @@ before first use (numerics parity with the reference is at fp64).
 
 from . import (lattice, cshift, linalg, stencil, solvers, u1, rng,
                transfer, multigrid, stateful, eig, reductions, measure,
-               storage, parallel, tpu_compat)
+               storage, parallel, tpu_compat, refine)
 
 __version__ = "0.1.0"

@@ -67,6 +67,11 @@ def save_hierarchy(mg: StatefulMultigridMG, path: str):
                         for k, v in dataclasses.asdict(cs).items()}
     if mg.coarsest_dinv is not None:
         arrays["coarsest_dinv"] = np.asarray(mg.coarsest_dinv)
+    if mg.coarsest_evecs is not None:
+        # Deflation eigenpairs (reference stateful_multigrid.h:613-696)
+        # round-trip so a resumed stream keeps its deflated coarsest solve.
+        arrays["coarsest_evals"] = np.asarray(mg.coarsest_evals)
+        arrays["coarsest_evecs"] = np.asarray(mg.coarsest_evecs)
     arrays["__meta__"] = np.frombuffer(
         json.dumps(meta).encode(), dtype=np.uint8)
     np.savez_compressed(path, **arrays)
@@ -144,4 +149,7 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
         mg.is_stencil_managed[lvl] = True
     if "coarsest_dinv" in data:
         mg.coarsest_dinv = jnp.asarray(data["coarsest_dinv"])
+    if "coarsest_evecs" in data:
+        mg.coarsest_evals = jnp.asarray(data["coarsest_evals"])
+        mg.coarsest_evecs = jnp.asarray(data["coarsest_evecs"])
     return mg

@@ -8,24 +8,19 @@ boundary real: complex arrays travel as float32 plane-pairs
 (..., 2) = (real, imag) and are reassembled with lax.complex inside the
 computation.
 
-Use ``realize(fn)`` to wrap any pytree->pytree complex function into a
-planes->planes function suitable for jit on the TPU; ``to_planes`` /
-``from_planes`` convert at the host boundary.
+``to_planes`` / ``from_planes`` convert at the jit boundary;
+``make_planes_solver`` below wraps the whole MG-preconditioned solve
+this way.
 """
 
 from __future__ import annotations
-
-from typing import Callable
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
-__all__ = ["to_planes", "from_planes", "realize", "host_to_planes"]
-
-
-def _is_complex(x):
-    return jnp.issubdtype(jnp.asarray(x).dtype, jnp.complexfloating)
+__all__ = ["to_planes", "from_planes", "host_to_planes",
+           "mg_state_planes", "make_planes_solver", "shard_planes_state"]
 
 
 def to_planes(x):
@@ -43,43 +38,6 @@ def host_to_planes(x, dtype=np.float32) -> np.ndarray:
 def from_planes(p):
     """Real (..., 2) plane pair -> complex array."""
     return jax.lax.complex(p[..., 0], p[..., 1])
-
-
-def _encode(tree):
-    return jax.tree_util.tree_map(
-        lambda x: to_planes(x) if _is_complex(x) else x, tree)
-
-
-def _decode(tree, spec):
-    """spec: matching tree of bools (was complex)."""
-    return jax.tree_util.tree_map(
-        lambda x, c: from_planes(x) if c else x, tree, spec)
-
-
-def realize(fn: Callable) -> Callable:
-    """Wrap a complex-valued function into a real-boundary function.
-
-    ``realize(fn)(*planes_args)`` = planes of ``fn(*complex_args)``.
-    Positional args that are real stay untouched; complex-ness of each
-    input is inferred from a trailing axis of size 2 added by to_planes,
-    so callers must encode inputs with to_planes/host_to_planes and pass
-    ``complex_args`` markers when ambiguous.
-    """
-
-    def wrapped(args_planes, complex_spec):
-        args = _decode(args_planes, complex_spec)
-        out = fn(*args)
-        return jax.tree_util.tree_map(
-            lambda x: to_planes(x) if _is_complex(x) else x, out)
-
-    return wrapped
-
-
-def encode_args(*args):
-    """Returns (planes_tree, complex_spec) for feeding realize(fn)."""
-    spec = jax.tree_util.tree_map(lambda x: bool(_is_complex(x)), list(args))
-    planes = _encode(list(args))
-    return planes, spec
 
 
 # ---------------------------------------------------------------------------
@@ -108,6 +66,12 @@ def mg_state_planes(mg):
         state[f"nvb{lvl}"] = host_to_planes(np.asarray(t._nvb))
     if mg.coarsest_dinv is not None:
         state["cdinv"] = host_to_planes(np.asarray(mg.coarsest_dinv))
+    if mg.coarsest_evecs is not None:
+        # Coarsest deflation state (reference stateful_multigrid.h:613-696)
+        # rides the planes boundary so the TPU solve applies the same
+        # initial-guess projection (:895-908) as the eager path.
+        state["cevals"] = host_to_planes(np.asarray(mg.coarsest_evals))
+        state["cevecs"] = host_to_planes(np.asarray(mg.coarsest_evecs))
     return state
 
 
@@ -158,19 +122,27 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
     shard_map + ppermute halo exchange (qmg_tpu.shard_dslash) and the
     caller places the fine-level state/rhs planes on the mesh
     (shard_planes_state below); coarse levels replicate, Krylov
-    reductions become all-reduces under SPMD. Mutually exclusive with
-    ``use_pallas_fine`` (the fused kernels are single-chip; a sharded
-    Pallas fine kernel is future work).
+    reductions become all-reduces under SPMD. Combine with
+    ``use_pallas_fine`` + ``pallas_kind='wilson-r1'`` to run the fused
+    rank-1 phase kernel per shard with ppermute y-halo exchange
+    (shard_dslash.make_sharded_pallas_wilson; needs an x-unsharded
+    (ny, 1) mesh); other kernel kinds remain single-chip-only.
     """
     from . import solvers
     from .stencil import StencilType
 
     state = mg_state_planes(mg)
     n_levels = mg.get_num_levels()
+    sharded_pallas = False
     if mesh is not None:
         if use_pallas_fine:
-            raise ValueError("mesh and use_pallas_fine are mutually "
-                             "exclusive (fused kernels are single-chip)")
+            if pallas_kind != "wilson-r1":
+                raise ValueError(
+                    "mesh + use_pallas_fine requires pallas_kind="
+                    "'wilson-r1' (the sharded fused kernel, "
+                    "shard_dslash.make_sharded_pallas_wilson); other "
+                    "kernels are single-chip")
+            sharded_pallas = True
         from . import parallel
         parallel.validate_mg_sharding(mg, mesh)
 
@@ -180,7 +152,15 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                          "Pallas kernel path)")
     pallas_apply = None
     wilson_w = 1.0
-    if use_pallas_fine:
+    if sharded_pallas:
+        lat0 = mg.get_lattice(0)
+        if lat0.nc != 2:
+            raise ValueError("pallas_kind='wilson-r1' needs the fine "
+                             "operator to be Wilson (nc=2)")
+        wilson_w = float(getattr(mg.get_stencil(0), "wilson_coeff", 1.0))
+        sharded_mass = float(np.real(np.asarray(
+            mg.get_stencil(0).coeffs.shift)))
+    elif use_pallas_fine:
         lat0 = mg.get_lattice(0)
         if pallas_kind in ("wilson-phase", "wilson-r1"):
             # Wilson-specialized phase-streaming kernel (pallas_wilson.py):
@@ -264,6 +244,10 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
         saved_dinv = mg.coarsest_dinv
         if "cdinv" in state:
             mg.coarsest_dinv = from_planes(state["cdinv"])
+        saved_defl = (mg.coarsest_evals, mg.coarsest_evecs)
+        if "cevecs" in state:
+            mg.coarsest_evals = from_planes(state["cevals"])
+            mg.coarsest_evecs = from_planes(state["cevecs"])
         try:
             b = from_planes(b_planes)
             fine_st = mg.get_stencil(0)
@@ -279,7 +263,12 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                 matvec = lambda v: _apply_M(fine_coeffs, v)
             else:
                 matvec = lambda v: fine_st.apply_M(v, otype)
-            if mesh is not None:
+            if sharded_pallas:
+                from .shard_dslash import make_sharded_pallas_wilson
+                fine_st.apply_override = make_sharded_pallas_wilson(
+                    fine_st.coeffs, mesh, mass=sharded_mass, w=wilson_w,
+                    tile=pallas_tile, interpret=pallas_interpret)
+            elif mesh is not None:
                 from .shard_dslash import make_sharded_dslash
                 fine_st.apply_override = make_sharded_dslash(
                     fine_st.coeffs, mesh)
@@ -366,8 +355,50 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             for (t, nvb) in saved_nvb:
                 t._nvb = nvb
             mg.coarsest_dinv = saved_dinv
+            mg.coarsest_evals, mg.coarsest_evecs = saved_defl
 
     return solve_planes, state
+
+
+def make_refined_planes_solver(mg, tol: float = 1e-10,
+                               inner_tol: float = 1e-5,
+                               max_iter: int = 400, restart_freq: int = 32,
+                               max_outer: int = 12, **solver_kw):
+    """The reference's fp64 1e-10 contract on a c64-only TPU.
+
+    Wraps ``make_planes_solver`` (the c64 MG K-cycle) as the correction
+    step of a host-fp64 defect-correction loop (refine.py): the TRUE
+    residual is accumulated in complex128 NumPy against the fine
+    operator's fp64 coefficients, the device solves the correction
+    equation in c64 to ``inner_tol``, and the loop repeats until the
+    fp64 relative residual clears ``tol`` - the n13 outer contract
+    (tests/n13_wilson_kcycle/wilson_kcycle.cpp:104-106) that a bare c64
+    solve cannot reach.
+
+    Returns ``(solve, state)``; ``solve(b[, state=...]) -> RefineResult``
+    with a NumPy complex128 solution. ``solver_kw`` forwards to
+    make_planes_solver (kernel routing, outer_type, mesh); with a mesh,
+    pass the shard-placed state explicitly per call.
+    """
+    from .refine import HostStencil, refine_solve
+
+    host_op = HostStencil(mg.get_stencil(0))
+    solve_planes, state = make_planes_solver(
+        mg, tol=inner_tol, max_iter=max_iter, restart_freq=restart_freq,
+        **solver_kw)
+    jitted = jax.jit(solve_planes)
+
+    def solve(b, state=state, tol=tol, max_outer=max_outer):
+        def inner(r):
+            r_p = host_to_planes(np.asarray(r, np.complex64))
+            x_p, iters, _ = jitted(state, r_p)
+            xp = np.asarray(jax.device_get(x_p))
+            return xp[..., 0] + 1j * xp[..., 1], int(iters)
+
+        return refine_solve(host_op, inner, b, tol=tol,
+                            max_outer=max_outer)
+
+    return solve, state
 
 
 def shard_planes_state(state, mesh, b_planes=None):
