@@ -29,9 +29,9 @@ import jax
 import jax.numpy as jnp
 
 from .lattice import Lattice2D
-from .linalg import orthogonal
+from .linalg import orthogonal, normalize
 from .stencil import StencilType
-from .setup import KCycleConfig, chiral_double
+from .setup import KCycleConfig, AdaptiveConfig, chiral_double
 from .stateful import StatefulMultigridMG, LevelSolveMG, CoarsestSolveMG
 from .transfer import TransferMG, DoublingType
 from .tpu_compat import to_planes, from_planes, host_to_planes
@@ -48,16 +48,85 @@ def _level_lattices(lat0: Lattice2D, cfg: KCycleConfig):
     return lats
 
 
-def gauss_seed_planes(lat0: Lattice2D, cfg: KCycleConfig, rng):
+def gauss_seed_planes(lat0: Lattice2D, cfg: KCycleConfig, rng,
+                      dtype=np.float32):
     """Host-side gaussian seeds for the null-vector solves, one stacked
-    (n_half, cv_shape) array per level, as f32 planes - drawn in the
-    reference's order (per level, per vector)."""
+    (n_half, cv_shape) array per level, as real planes - drawn in the
+    reference's order (per level, per vector). ``dtype`` is the PLANE
+    dtype (float32 for the c64 TPU path, float64 for fp64 oracles)."""
     lats = _level_lattices(lat0, cfg)
     n_half = cfg.coarse_dof // 2
     out = []
     for i in range(1, cfg.n_refine + 1):
         g = np.stack([rng.gaussian_cv(lats[i - 1]) for _ in range(n_half)])
-        out.append(host_to_planes(g))
+        out.append(host_to_planes(g, dtype=dtype))
+    return out
+
+
+def _setup_mesh_crossover(lats, mesh):
+    """First level that no longer tiles the mesh (levels >= it replicate),
+    with the SURVEY hard-part-#2 alignment checks: sharded levels must
+    keep even local row counts and hold whole aggregation blocks per
+    shard so blocking (transfer reshape) stays shard-local."""
+    my, mx = mesh.devices.shape
+
+    def tiles(lat):
+        return (lat.y_len % my == 0 and lat.xh % mx == 0
+                and (lat.y_len // my) % 2 == 0)
+
+    crossover = len(lats)
+    for i, lat in enumerate(lats):
+        if not tiles(lat):
+            crossover = i
+            break
+    if crossover == 0:
+        raise ValueError(
+            f"fine lattice ({lats[0].y_len}, {lats[0].xh}) does not tile "
+            f"the mesh {mesh.devices.shape} with even local rows")
+    for i in range(min(crossover, len(lats) - 1)):
+        if i + 1 >= crossover:
+            # The coarse side replicates - the blocking reshape crosses
+            # shard boundaries and XLA inserts the (tiny) gather, which
+            # IS the replication crossover. No alignment needed.
+            continue
+        f, c = lats[i], lats[i + 1]
+        by, bx = f.y_len // c.y_len, f.x_len // c.x_len
+        if bx % 2:
+            raise ValueError("x blocking must be even under a mesh (an "
+                             "odd block splits the eo-packed x axis)")
+        y_loc, xh_loc = f.y_len // my, f.xh // mx
+        if y_loc % by or xh_loc % max(bx // 2, 1):
+            raise ValueError(
+                f"level-{i} MG blocking ({by} x {bx}) does not align with "
+                f"the shard grid: local extents ({y_loc}, {xh_loc}) must "
+                "hold whole blocks")
+    return crossover
+
+
+def _setup_shardings(lats, mesh, crossover):
+    """Per-level NamedShardings for the stage-boundary plane arrays."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    def ns(spec):
+        return NamedSharding(mesh, spec)
+
+    out = []
+    for i, lat in enumerate(lats):
+        if i < crossover:
+            ay, ax = "y", "x"
+        else:
+            ay = ax = None
+        out.append({
+            # (2, 2mu, Y, Xh, 2) handled separately (gauge); fields:
+            "gauss": ns(P(None, None, ay, ax, None, None)),
+            "clover": ns(P(None, ay, ax, None, None, None)),
+            "hopping": ns(P(None, None, ay, ax, None, None, None)),
+            # blocked null vectors (nvec, 2c, Yc, Xhc, B, 2) live on the
+            # COARSE lattice of the transfer INTO level i:
+            "nvb": ns(P(None, None, ay, ax, None, None)),
+            "gauge": ns(P(None, None, ay, ax, None)),
+            "scalar": ns(P()),
+        })
     return out
 
 
@@ -83,7 +152,8 @@ def _direct_coarsest_dinv_traced(mg: StatefulMultigridMG, dtype):
 
 def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                              w: float = 1.0, dtype=jnp.complex64,
-                             per_level_jit: bool = True):
+                             per_level_jit: bool = True, mesh=None,
+                             channels_first: bool = False):
     """Returns ``setup_fn(gauge_planes, *gauss_planes) -> state`` -- the
     n13 setup running on-device, producing the make_planes_solver state
     dict.
@@ -105,7 +175,46 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
     make_planes_solver its static shape information; every complex array
     in that structure is replaced by this function's output at solve
     time.
+
+    ``mesh`` (a 2D ("y", "x") jax Mesh) shards the setup itself over the
+    device mesh (VERDICT r2 item 1): stage inputs/outputs above the
+    replication crossover carry lattice-sharded NamedShardings, so XLA's
+    SPMD partitioner runs the null-vector Krylov solves, block
+    orthonormalization and Galerkin probes domain-decomposed - the
+    collectives (ppermute halos from the stencil rolls, psum reductions
+    from the solver dots) are derived by the compiler, the same recipe
+    as the mesh solve path (parallel.py). Blocking is validated to stay
+    shard-local (SURVEY hard part #2); levels below the crossover
+    replicate, mirroring the tiny coarsest lattices. Requires
+    ``per_level_jit``.
+
+    ``channels_first`` routes the FINE-level stage (the 90%-of-memory
+    stage) through cf.py: real-pair arithmetic with (Y, Xh)-minor
+    layouts and a phase-form Wilson matvec, which sidesteps the XLA
+    complex-buffer layout pathology that kills the standard stage at
+    2048^2 (PERF.md "Device-resident setup"). Same math, same seeds,
+    same trajectory (fixed-point BiCGstab(l) port); coarse levels are
+    unchanged. n13-shaped flows only (Wilson fine, bicgstab_l on the
+    ORIGINAL op, even x block, no rbjacobi precoarsening).
     """
+    if channels_first:
+        if not per_level_jit:
+            raise ValueError("channels_first requires per_level_jit")
+        if cfg.nullvec_solver != "bicgstab_l":
+            raise ValueError("channels_first fine stage implements the "
+                             "n13 bicgstab_l null-vector solver only")
+        if StencilType(cfg.nullvec_stype) != StencilType.ORIGINAL:
+            raise ValueError("channels_first fine stage solves on the "
+                             "ORIGINAL fine operator only")
+        if cfg.precond_coarsen_rbjacobi or cfg.build_extra:
+            raise ValueError("channels_first does not support rbjacobi "
+                             "precoarsening / build_extra")
+        if cfg.x_block % 2:
+            raise ValueError("channels_first blocking requires an even "
+                             "x block")
+        if mesh is not None:
+            raise ValueError("channels_first + mesh is not supported "
+                             "yet (shard the standard stage instead)")
     if lat0.nc != 2:
         raise ValueError("make_kcycle_setup_planes builds the Wilson n13 "
                          f"flow; fine nc must be 2, got {lat0.nc}")
@@ -205,6 +314,51 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             return (to_planes(op.coeffs.clover.astype(dtype)),
                     to_planes(op.coeffs.hopping.astype(dtype))) + outs
 
+        def _level1_fn_cf(gauge_planes, gauss_p):
+            """The fine stage in channels-first real-pair arithmetic
+            (cf.py) - no complex buffer ever materializes on the fine
+            lattice; outputs convert to the standard planes-state
+            formats (coarse-level sizes) at the stage boundary."""
+            from . import cf as _cf
+            rdt = jnp.float64 if dtype == jnp.complex128 else jnp.float32
+            cdt = dtype
+            gauge_cf = jnp.moveaxis(gauge_planes, -1, 0).astype(rdt)
+            phases = _cf.wilson_phases_cf(gauge_cf)
+            gauss_cf = jnp.transpose(gauss_p, (0, 5, 1, 4, 2, 3)
+                                     ).astype(rdt)
+            nvb_cf, clover_c, hopping_c = _cf.wilson_level_outputs_cf(
+                phases, gauss_cf, lats[0], lats[1], float(np.real(mass)),
+                w, cfg.nullvec_max_iter, cfg.nullvec_tol)
+            # Fine clover planes: 2w I (wilson.py:41).
+            c0 = jnp.zeros(lat0.cm_shape() + (2,), rdt)
+            c0 = c0.at[..., 0, 0, 0].set(2.0 * w)
+            c0 = c0.at[..., 1, 1, 0].set(2.0 * w)
+            # Fine hopping planes from the phases and spin constants
+            # (wilson.wilson_spin_matrices in host numpy).
+            _i = 1j
+            spin = 0.5 * np.stack([
+                np.array([[-w, 1], [1, -w]]),
+                np.array([[-w, -_i], [_i, -w]]),
+                np.array([[-w, -1], [-1, -w]]),
+                np.array([[-w, _i], [-_i, -w]])])
+            s_re = jnp.asarray(spin.real, rdt)[:, None, None, None]
+            s_im = jnp.asarray(spin.imag, rdt)[:, None, None, None]
+            ur = phases[0][..., None, None]
+            ui = phases[1][..., None, None]
+            h0 = jnp.stack([ur * s_re - ui * s_im,
+                            ur * s_im + ui * s_re], axis=-1)
+            shifts1 = to_planes(jnp.stack([
+                jnp.asarray(mass, cdt), jnp.zeros((), cdt),
+                jnp.zeros((), cdt)]))
+            return (c0, h0,
+                    jnp.transpose(nvb_cf, (1, 2, 4, 5, 3, 0)),
+                    jnp.transpose(clover_c, (1, 4, 5, 2, 3, 0)),
+                    jnp.transpose(hopping_c, (1, 2, 5, 6, 3, 4, 0)),
+                    shifts1)
+
+        if channels_first:
+            _level1_fn = _level1_fn_cf
+
         def _mk_level_fn(i):
             def _level_fn(clover_p, hopping_p, shifts_p, gauss_p):
                 fine_st = _reconstruct_stencil(i - 1, clover_p, hopping_p,
@@ -229,10 +383,35 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             mat = mat + jnp.diag(dead.astype(mat.dtype))
             return to_planes(jnp.linalg.inv(mat))
 
-        level1_jit = jax.jit(_level1_fn)
-        level_jits = [jax.jit(_mk_level_fn(i))
-                      for i in range(2, cfg.n_refine + 1)]
-        cdinv_jit = jax.jit(_cdinv_fn)
+        if mesh is None:
+            level1_jit = jax.jit(_level1_fn)
+            level_jits = [jax.jit(_mk_level_fn(i))
+                          for i in range(2, cfg.n_refine + 1)]
+            cdinv_jit = jax.jit(_cdinv_fn)
+        else:
+            crossover = _setup_mesh_crossover(lats, mesh)
+            sh = _setup_shardings(lats, mesh, crossover)
+            level1_jit = jax.jit(
+                _level1_fn,
+                in_shardings=(sh[0]["gauge"], sh[0]["gauss"]),
+                out_shardings=(sh[0]["clover"], sh[0]["hopping"],
+                               sh[1]["nvb"], sh[1]["clover"],
+                               sh[1]["hopping"], sh[1]["scalar"]))
+            level_jits = [
+                jax.jit(_mk_level_fn(i),
+                        in_shardings=(sh[i - 1]["clover"],
+                                      sh[i - 1]["hopping"],
+                                      sh[i - 1]["scalar"],
+                                      sh[i - 1]["gauss"]),
+                        out_shardings=(sh[i]["nvb"], sh[i]["clover"],
+                                       sh[i]["hopping"], sh[i]["scalar"]))
+                for i in range(2, cfg.n_refine + 1)]
+            n = cfg.n_refine
+            cdinv_jit = jax.jit(
+                _cdinv_fn,
+                in_shardings=(sh[n]["clover"], sh[n]["hopping"],
+                              sh[n]["scalar"]),
+                out_shardings=sh[n]["scalar"])
 
         def setup_fn(gauge_planes, *gauss_planes):
             if len(gauss_planes) != cfg.n_refine:
@@ -258,6 +437,10 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             return state
 
         return setup_fn
+
+    if mesh is not None:
+        raise ValueError("mesh-sharded setup requires per_level_jit=True "
+                         "(the monolithic jit is a debugging path)")
 
     def setup_fn(gauge_planes, *gauss_planes):
         if len(gauss_planes) != cfg.n_refine:
@@ -334,6 +517,297 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
         if cfg.coarsest_direct:
             state["cdinv"] = to_planes(
                 _direct_coarsest_dinv_traced(mg, dtype))
+        return state
+
+    return setup_fn
+
+
+# ---------------------------------------------------------------------------
+# Device-resident ADAPTIVE (n22 / alpha-MG) setup.
+#
+# Reference flow being reproduced: tests/n22_wilson_kcycle_adaptive/
+# wilson_kcycle.cpp:260-333 (initial Richardson levels, build_coarse_by_
+# restrict :628-706) and :336-426 (adaptive m-loop: K-cycle-smooth the
+# test vectors with the CURRENT hierarchy, update the level, rebuild all
+# coarser levels). The eager path (setup.build_adaptive_hierarchy /
+# adaptive_pass) runs this on host; here every stage jits onto the
+# device with f32-plane boundaries, the same split as the n13 flow
+# above - only the reference's mt19937 gaussian draws stay on host
+# (adaptive_seed_planes).
+# ---------------------------------------------------------------------------
+
+
+def _adaptive_lattices(lat0: Lattice2D, acfg: AdaptiveConfig):
+    lats = [lat0]
+    cur_x, cur_y = lat0.x_len, lat0.y_len
+    for _ in range(acfg.n_refine):
+        cur_x //= acfg.x_block
+        cur_y //= acfg.y_block
+        lats.append(Lattice2D(cur_x, cur_y, acfg.coarse_dof))
+    return lats
+
+
+def adaptive_seed_planes(lat0: Lattice2D, acfg: AdaptiveConfig, rng,
+                         dtype=np.float32):
+    """Host gaussian seeds for the adaptive setup, drawn in the exact
+    order the eager path consumes them (initial levels fine-to-coarse,
+    then per pass / per level the coarser-level rebuilds): returns
+    (init_seeds, pass_seeds) with init_seeds[i] a (n_half, cv(lats[i]))
+    plane array and pass_seeds[m][i] the list of rebuild seed arrays for
+    levels i+1..n_refine-1 of pass m."""
+    lats = _adaptive_lattices(lat0, acfg)
+    n_half = acfg.coarse_dof // 2
+
+    def draw(lat):
+        return host_to_planes(
+            np.stack([rng.gaussian_cv(lat) for _ in range(n_half)]),
+            dtype=dtype)
+
+    init = [draw(lats[i]) for i in range(acfg.n_refine)]
+    passes = []
+    for _ in range(acfg.n_setup):
+        per_level = []
+        for i in range(acfg.n_refine):
+            per_level.append([draw(lats[jj])
+                              for jj in range(i + 1, acfg.n_refine)])
+        passes.append(per_level)
+    return init, passes
+
+
+def make_adaptive_setup_planes(lat0: Lattice2D, acfg: AdaptiveConfig,
+                               mass, w: float = 1.0,
+                               dtype=jnp.complex64,
+                               coarsest_direct: bool = False):
+    """Returns ``setup_fn(gauge_planes, init_seeds, pass_seeds) ->
+    state`` - the n22 adaptive setup running on-device as per-stage
+    jits, producing the make_planes_solver state dict.
+
+    Three compiled stage families, each called by the host driver with
+    only f32 planes crossing the boundary:
+      * ``init_fn(i)``: Richardson-smoothed test vectors on level i's
+        own operator -> orthonormalize -> chiral double -> block-ortho
+        transfer -> Galerkin coarse build of level i+1 (reference
+        build_coarse_by_restrict, n22:628-706). Reused verbatim for the
+        post-pass coarser-level rebuilds (:403-410) - the same
+        computation, update-in-place at the state-dict level.
+      * ``pass_fn(i)``: reconstructs the CURRENT full hierarchy from the
+        state planes inside the trace, K-cycle-smooths each test vector
+        with it (FGCR + mg_preconditioner at level i, :361-376),
+        re-orthonormalizes, chiral-doubles, rebuilds transfer + level
+        i+1 (:396-400).
+      * optional dense-coarsest inverse (TPU-native direct coarsest).
+
+    The adaptive smoothing iteration counts are fixed (Richardson 10,
+    K-cycle 10 at tol 1e-10 - the reference's own constants), so the
+    flow is naturally fixed-trip-count and jits without dynamic shapes.
+    """
+    if lat0.nc != 2:
+        raise ValueError("make_adaptive_setup_planes builds the Wilson "
+                         f"n22 flow; fine nc must be 2, got {lat0.nc}")
+    lats = _adaptive_lattices(lat0, acfg)
+    n_half = acfg.coarse_dof // 2
+    n_refine = acfg.n_refine
+    from .operators.wilson import Wilson2D
+    from .operators.coarse import CoarseOperator2D
+    from .stencil import Stencil2D, make_coeffs, DefaultChirality
+
+    coarsest_cfg = CoarsestSolveMG(
+        coarsest_tol=acfg.coarsest_tol,
+        coarsest_iters=acfg.coarsest_max_iter,
+        coarsest_restart_freq=acfg.coarsest_restart_freq)
+    setup_ls = LevelSolveMG(
+        intermediate_tol=acfg.setup_inner_tol,
+        intermediate_iters=acfg.setup_inner_iters,
+        intermediate_restart_freq=acfg.setup_inner_restart,
+        pre_tol=acfg.pre_smooth_tol, pre_iters=acfg.n_pre_smooth,
+        post_tol=acfg.post_smooth_tol, post_iters=acfg.n_post_smooth)
+
+    def _fine_stencil(gauge_planes):
+        gauge = from_planes(gauge_planes).astype(dtype)
+        return Wilson2D(lat0, mass, gauge, wilson_coeff=w, dtype=dtype)
+
+    def _coarse_stencil(lvl, clover_p, hopping_p, shifts_p):
+        sh = from_planes(shifts_p)
+        st = CoarseOperator2D.__new__(CoarseOperator2D)
+        Stencil2D.__init__(st, make_coeffs(
+            lats[lvl], clover=from_planes(clover_p).astype(dtype),
+            hopping=from_planes(hopping_p).astype(dtype),
+            shift=sh[0], eo_shift=sh[1], dof_shift=sh[2], dtype=dtype))
+        st.is_chiral = True
+        st.use_rbjacobi = False
+        st.in_transfer = None
+        st._default_chirality = DefaultChirality.GAMMA_5
+        st._sigma_1_L = None
+        st._sigma_1_R = None
+        return st
+
+    def _transfer_from_nvb(lvl, nvb_p):
+        t = TransferMG.__new__(TransferMG)
+        t.fine_lat = lats[lvl]
+        t.coarse_lat = lats[lvl + 1]
+        t.doubling = DoublingType.PROJECTION
+        t._init_geometry()
+        t._nvb = from_planes(nvb_p).astype(dtype)
+        t._restrict_nvb = None
+        t.block_cholesky = t.block_L = t.block_U = None
+        return t
+
+    def _richardson_vectors(st, gauss):
+        """build_coarse_by_restrict's test-vector smoothing
+        (n22:664-676): gaussian -> Richardson(10, omega 0.33) ->
+        orthogonalize -> normalize."""
+        matvec = st.get_apply_function()
+        tvs = []
+        for k in range(n_half):
+            res = solvers.richardson(
+                matvec, gauss[k], max_iter=acfg.richardson_iters,
+                tol=1e-10, omega=acfg.richardson_omega,
+                blocksize=acfg.richardson_blocksize)
+            v = res.x
+            for wv in tvs:
+                v = orthogonal(v, wv)
+            tvs.append(normalize(v))
+        return tvs
+
+    def _build_level(i, fine_st, tvs):
+        """chiral double + transfer + Galerkin build of level i+1 from
+        level-i test vectors; returns the state-planes tuple."""
+        raw = chiral_double(fine_st, jnp.stack(tvs))
+        transfer = TransferMG(lats[i], lats[i + 1], raw,
+                              do_block_ortho=True,
+                              doubling=DoublingType.PROJECTION)
+        coarse = CoarseOperator2D(lats[i + 1], fine_st, transfer,
+                                  is_chiral=True)
+        cc = coarse.coeffs
+        return (to_planes(jnp.stack(tvs)),
+                to_planes(transfer._nvb.astype(dtype)),
+                to_planes(cc.clover.astype(dtype)),
+                to_planes(cc.hopping.astype(dtype)),
+                to_planes(jnp.stack([jnp.asarray(cc.shift, dtype),
+                                     jnp.asarray(cc.eo_shift, dtype),
+                                     jnp.asarray(cc.dof_shift, dtype)])))
+
+    def _mk_init_fn(i):
+        # Stable per-stage signatures (no whole-state dict): level 0
+        # builds its stencil from the gauge field, deeper levels from
+        # their own coefficient planes.
+        if i == 0:
+            def init_fn(gauge_planes, gauss_p):
+                st = _fine_stencil(gauge_planes)
+                gauss = from_planes(gauss_p).astype(dtype)
+                return _build_level(0, st, _richardson_vectors(st, gauss))
+        else:
+            def init_fn(clover_p, hopping_p, shifts_p, gauss_p):
+                st = _coarse_stencil(i, clover_p, hopping_p, shifts_p)
+                gauss = from_planes(gauss_p).astype(dtype)
+                return _build_level(i, st, _richardson_vectors(st, gauss))
+        return init_fn
+
+    def _call_init(i, state, gauge_planes, gauss_p):
+        if i == 0:
+            return init_jits[0](gauge_planes, gauss_p)
+        return init_jits[i](state[f"clover{i}"], state[f"hopping{i}"],
+                            state[f"shifts{i}"], gauss_p)
+
+    def _mk_pass_fn(i):
+        def pass_fn(state_planes, gauge_planes):
+            # Reconstruct the CURRENT hierarchy for the K-cycle smoother.
+            st0 = _fine_stencil(gauge_planes)
+            mg = StatefulMultigridMG(lat0, st0, coarsest_cfg)
+            transfers = []
+            for lvl in range(n_refine):
+                t = _transfer_from_nvb(lvl, state_planes[f"nvb{lvl}"])
+                transfers.append(t)
+                mg.push_level(lats[lvl + 1], t, setup_ls,
+                              build_stencil=False, is_chiral=True)
+                stc = _coarse_stencil(lvl + 1,
+                                      state_planes[f"clover{lvl + 1}"],
+                                      state_planes[f"hopping{lvl + 1}"],
+                                      state_planes[f"shifts{lvl + 1}"])
+                stc.in_transfer = t
+                mg.stencil_list[lvl + 1] = stc
+                mg.is_stencil_managed[lvl + 1] = True
+
+            st_i = mg.get_stencil(i)
+            matvec = st_i.get_apply_function()
+            precond = mg.make_preconditioner(i)
+            from .stateful import _zero_carry
+            tv_in = from_planes(state_planes[f"tv{max(i - 1, 0)}"]
+                                if i > 0 else state_planes["tv0"]
+                                ).astype(dtype)
+            new_tvs = []
+            for j in range(n_half):
+                if i == 0:
+                    rhs = tv_in[j]
+                else:
+                    rhs = transfers[i - 1].restrict_f2c(tv_in[j])
+                res, _ = solvers.gcr_var_precond(
+                    matvec, rhs, precond,
+                    max_iter=acfg.kcycle_smooth_iters,
+                    tol=acfg.kcycle_smooth_tol,
+                    precond_carry=_zero_carry(mg.get_num_levels()))
+                v = res.x
+                for wv in new_tvs:
+                    v = orthogonal(v, wv)
+                new_tvs.append(normalize(v))
+            return _build_level(i, st_i, new_tvs)
+        return pass_fn
+
+    def _cdinv_fn(clover_p, hopping_p, shifts_p):
+        st = _coarse_stencil(n_refine, clover_p, hopping_p, shifts_p)
+        matvec = st.get_apply_function()
+        shape = lats[-1].cv_shape()
+        n = int(np.prod(shape))
+        basis = jnp.eye(n, dtype=dtype).reshape((n,) + tuple(shape))
+        cols = jax.lax.map(lambda v: matvec(v).reshape(n), basis,
+                           batch_size=min(n, 256))
+        mat = cols.T
+        dead = ((jnp.abs(mat).sum(axis=1) == 0)
+                & (jnp.abs(mat).sum(axis=0) == 0))
+        mat = mat + jnp.diag(dead.astype(mat.dtype))
+        return to_planes(jnp.linalg.inv(mat))
+
+    init_jits = [jax.jit(_mk_init_fn(i)) for i in range(n_refine)]
+    pass_jits = [jax.jit(_mk_pass_fn(i)) for i in range(n_refine)]
+    cdinv_jit = jax.jit(_cdinv_fn)
+
+    def _apply_build(state, i, outs):
+        (state[f"tv{i}"], state[f"nvb{i}"], state[f"clover{i + 1}"],
+         state[f"hopping{i + 1}"], state[f"shifts{i + 1}"]) = outs
+
+    def setup_fn(gauge_planes, init_seeds, pass_seeds):
+        if len(init_seeds) != n_refine:
+            raise ValueError(f"need {n_refine} init seed arrays, got "
+                             f"{len(init_seeds)}")
+        if len(pass_seeds) != acfg.n_setup:
+            raise ValueError(f"need {acfg.n_setup} pass seed groups, got "
+                             f"{len(pass_seeds)}")
+        state = {"shifts0": host_to_planes(np.asarray(
+            [complex(mass), 0j, 0j], np.complex64))}
+        # Fine-level coefficients ride the state for the solver scaffold.
+        fine = jax.jit(lambda gp: (
+            to_planes(_fine_stencil(gp).coeffs.clover.astype(dtype)),
+            to_planes(_fine_stencil(gp).coeffs.hopping.astype(dtype))))
+        state["clover0"], state["hopping0"] = fine(gauge_planes)
+        # Initial levels, fine to coarse (n22:260-333).
+        for i in range(n_refine):
+            _apply_build(state, i,
+                         _call_init(i, state, gauge_planes, init_seeds[i]))
+        # Adaptive passes (n22:336-426).
+        for m in range(acfg.n_setup):
+            for i in range(n_refine):
+                _apply_build(state, i, pass_jits[i](state, gauge_planes))
+                for idx, jj in enumerate(range(i + 1, n_refine)):
+                    _apply_build(
+                        state, jj,
+                        _call_init(jj, state, gauge_planes,
+                                   pass_seeds[m][i][idx]))
+        if coarsest_direct:
+            state["cdinv"] = cdinv_jit(state[f"clover{n_refine}"],
+                                       state[f"hopping{n_refine}"],
+                                       state[f"shifts{n_refine}"])
+        for i in range(n_refine):
+            del state[f"tv{i}"]  # setup-internal; not solver state
         return state
 
     return setup_fn
