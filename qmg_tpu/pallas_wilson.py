@@ -473,16 +473,25 @@ def make_pallas_wilson_split_shaped(y_len: int, xh: int, w: float,
 
 
 def _wilson_rank1_kernel(tile: int, y_len: int, alpha: float,
-                         double_buffer: bool,
+                         double_buffer: bool, halo_frame: bool,
                          x_hbm, phase_ref, out_ref, xwin, sems):
     t = pl.program_id(0)
     n_tiles = pl.num_programs(0)
 
     def window_dmas(slot, tile_idx):
         y0 = tile_idx * tile
-        dn_start = pl.multiple_of((y0 - 8) % y_len, 8)
-        body_start = pl.multiple_of(y0 % y_len, 8)
-        up_start = pl.multiple_of((y0 + tile) % y_len, 8)
+        if halo_frame:
+            # x_hbm carries an 8-row halo frame on each side (sharded
+            # path: halos exchanged over ICI before the kernel); body row
+            # y lives at frame row y + 8, so the three window segments
+            # are contiguous non-wrapping reads.
+            dn_start = pl.multiple_of(y0, 8)
+            body_start = pl.multiple_of(y0 + 8, 8)
+            up_start = pl.multiple_of(y0 + tile + 8, 8)
+        else:
+            dn_start = pl.multiple_of((y0 - 8) % y_len, 8)
+            body_start = pl.multiple_of(y0 % y_len, 8)
+            up_start = pl.multiple_of((y0 + tile) % y_len, 8)
         return (
             pltpu.make_async_copy(
                 x_hbm.at[:, :, :, pl.ds(dn_start, 8), :],
@@ -590,10 +599,18 @@ def _wilson_rank1_kernel(tile: int, y_len: int, alpha: float,
 def make_pallas_wilson_rank1_shaped(y_len: int, xh: int, w: float,
                                     mass: float, tile: int = 32,
                                     interpret: bool = False,
-                                    double_buffer: bool = True):
+                                    double_buffer: bool = True,
+                                    halo_frame: bool = False):
     """Interleaved-layout rank-1 Wilson factory (w must be 1.0). Same
     plane layouts as make_pallas_wilson_shaped: phases (4, 2p, 2ri, Y,
-    Xh), x/out (2p, 2s, 2ri, Y, Xh)."""
+    Xh), x/out (2p, 2s, 2ri, Y, Xh).
+
+    ``halo_frame``: the sharded-Dslash variant - x planes carry an 8-row
+    halo on each side of the Y axis ((2, 2, 2, y_len + 16, Xh); body row
+    y at frame row y + 8) and the kernel reads the frame instead of
+    wrapping periodically. ``y_len`` is then the LOCAL (per-shard) row
+    count; shard_dslash.make_sharded_pallas_wilson exchanges the halos
+    over ICI with ppermute and calls this per shard."""
     if w != 1.0:
         raise ValueError(
             f"rank-1 wilson kernel requires w == 1 (rank-1 projectors); "
@@ -622,7 +639,8 @@ def make_pallas_wilson_rank1_shaped(y_len: int, xh: int, w: float,
     grid = (y_len // tile,)
     alpha = 2.0 * w + mass
     kernel = functools.partial(_wilson_rank1_kernel, tile, y_len,
-                               float(alpha), double_buffer)
+                               float(alpha), double_buffer,
+                               bool(halo_frame))
 
     def apply_fn(phase_pl, x_pl):
         return pl.pallas_call(

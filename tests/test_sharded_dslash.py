@@ -164,3 +164,79 @@ def test_mg_solve_with_sharded_fine_dslash(mesh):
     assert int(res.iters) == int(ref.iters)
     resid = float(jnp.sqrt(norm2sq(b - op.apply_M(res.x)) / norm2sq(b)))
     assert resid < 1e-7
+
+
+@pytest.fixture(scope="module")
+def ymesh():
+    """x-unsharded (4, 1) mesh for the sharded Pallas kernel (the
+    kernel streams full rows on the lane axis; y-slab decomposition)."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    return parallel.make_mesh(4, shape=(4, 1))
+
+
+def test_sharded_pallas_wilson_matches_single(ymesh):
+    """VERDICT r2 item 3: the rank-1 phase Pallas kernel inside
+    shard_map (halo-frame variant, ppermute y-halos, interpret mode on
+    the CPU mesh) must reproduce the stencil apply."""
+    jax.clear_caches()  # big SPMD compile: see _clear_jit_caches
+    from qmg_tpu.shard_dslash import make_sharded_pallas_wilson
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, -0.07, jnp.asarray(g), dtype=jnp.complex64)
+    x = jnp.asarray(rng.gaussian_cv(lat)).astype(jnp.complex64)
+    expect = np.asarray(apply_M(op.coeffs, x))
+
+    apply_fn = jax.jit(make_sharded_pallas_wilson(
+        op.coeffs, ymesh, mass=-0.07, tile=8, interpret=True))
+    xs = parallel.shard_field(x, ymesh)
+    got = np.asarray(apply_fn(xs))
+    np.testing.assert_allclose(got, expect, atol=5e-5)
+
+
+def test_sharded_pallas_wilson_rejects_x_sharding(mesh):
+    from qmg_tpu.shard_dslash import make_sharded_pallas_wilson
+    lat = Lattice2D(32, 32, 2)
+    op = Wilson2D(lat, -0.07, u1.unit_gauge_u1(lat))
+    with pytest.raises(ValueError, match="x-unsharded"):
+        make_sharded_pallas_wilson(op.coeffs, mesh, mass=-0.07)
+
+
+def test_planes_solver_mesh_pallas_trajectory(ymesh):
+    """make_planes_solver(mesh=..., use_pallas_fine=True,
+    pallas_kind='wilson-r1') - the sharded fused fine kernel inside the
+    whole MG solve - must track the unsharded planes solve's trajectory
+    (VERDICT r2 item 3 done-criterion)."""
+    jax.clear_caches()  # big SPMD compile: see _clear_jit_caches
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.tpu_compat import (make_planes_solver, shard_planes_state,
+                                    host_to_planes, from_planes)
+    from qmg_tpu.linalg import norm2sq
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, -0.05, g)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, nullvec_max_iter=100,
+                       nullvec_tol=1e-3)
+    mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+    b = jnp.asarray(rng.gaussian_cv(lat))
+    b_p = host_to_planes(np.asarray(b, np.complex64))
+
+    sp0, st0 = make_planes_solver(mg, tol=1e-6, max_iter=200,
+                                  restart_freq=32)
+    _, iters0, _ = jax.jit(sp0)(st0, b_p)
+
+    sp, st = make_planes_solver(mg, tol=1e-6, max_iter=200,
+                                restart_freq=32, mesh=ymesh,
+                                use_pallas_fine=True,
+                                pallas_kind="wilson-r1",
+                                pallas_interpret=True)
+    stp, bp = shard_planes_state(st, ymesh, b_p)
+    x_p, iters, _ = jax.jit(sp)(stp, bp)
+    # c64 + SPMD reduction order + the f32 kernel boundary can flip the
+    # stopping test by an iteration either way.
+    assert abs(int(iters) - int(iters0)) <= 1
+    x = from_planes(x_p).astype(b.dtype)
+    resid = float(jnp.sqrt(norm2sq(b - op.apply_M(x)) / norm2sq(b)))
+    assert resid < 1e-5
