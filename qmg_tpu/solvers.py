@@ -30,6 +30,9 @@ import jax.numpy as jnp
 
 from .linalg import vdot, norm2sq
 
+# Trace-time cap on the flat (R, n) GCR direction store (see _gcr_impl).
+GCR_STORE_LIMIT_BYTES = 2 * 1024 ** 3
+
 __all__ = [
     "SolveResult", "cg", "cg_restart", "gcr", "gcr_restart", "bicgstab",
     "bicgstab_l", "minres", "richardson", "tfqmr", "gcr_var_precond",
@@ -148,6 +151,18 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
     # at the identical 10-iteration trajectory). Flat (R, n) projections
     # are plain matvecs.
     n = int(np.prod(b.shape))
+    # Guard the direction store: unrestarted GCR (restart_freq=-1 routes
+    # here with restart_len=max_iter) allocates 2*(R, n) complex arrays;
+    # at default caps (max_iter 1000) on a production lattice that is
+    # tens of GB. Fail at trace time instead of OOMing the device.
+    store_bytes = 2 * R * n * jnp.dtype(b.dtype).itemsize
+    if store_bytes > GCR_STORE_LIMIT_BYTES:
+        raise ValueError(
+            f"GCR direction store (2 x {R} x {n} {jnp.dtype(b.dtype).name}"
+            f" = {store_bytes / 2**30:.1f} GiB) exceeds the "
+            f"{GCR_STORE_LIMIT_BYTES / 2**30:.1f} GiB limit - use the "
+            "restarted variant (restart_freq > 0) at this problem size, "
+            "or raise solvers.GCR_STORE_LIMIT_BYTES")
     ps0 = jnp.zeros((R, n), dtype=b.dtype)
     aps0 = jnp.zeros_like(ps0)
     apsq0 = jnp.ones((R,), dtype=rdt)  # dummy ones to avoid 0/0

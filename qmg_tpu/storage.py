@@ -45,10 +45,10 @@ class ArrayStorageMG:
         self._free.append(handle)
 
     def get_number_allocated(self) -> int:
-        return self._next_id
+        return len(self._all)
 
     def get_number_checked(self) -> int:
-        return self._next_id - len(self._free)
+        return len(self._all) - len(self._free)
 
     def consolidate(self, min_keep: int = 0):
         """Free unused slots down to min_keep (reference :128-154)."""

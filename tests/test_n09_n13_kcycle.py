@@ -84,7 +84,13 @@ ITER_PINS = {
     (32, -0.06, 2): 18,
     (64, -0.075, 2): 19,
     (128, -0.075, 3): 20,
+    (256, -0.06, 3): 20,
 }
+
+# Plaquette of the largest shipped fixture (l256t256b60_heatbath.dat),
+# recorded from u1.read_gauge_u1 on CPU fp64; guards the reader's
+# site/link ordering at the 256^2 scale.
+PLAQ_256 = 0.9209619275266874
 
 
 def _pinned_kcycle(cfg_dir, L, mass, n_refine):
@@ -143,3 +149,18 @@ def test_wilson_kcycle_beats_unpreconditioned(cfg_dir):
     assert bool(res_mg.converged)
     assert int(res_mg.iters) * 3 < int(res_gcr.iters) or \
         not bool(res_gcr.converged)
+
+
+@pytest.mark.slow
+def test_iter_pin_256sq(cfg_dir):
+    """The reference's LARGEST shipped fixture (l256t256b60_heatbath.dat)
+    enters the regression ladder (VERDICT r2 item 6): plaquette check +
+    pinned outer iteration count."""
+    lat0 = Lattice2D(256, 256, 2)
+    g = u1.read_gauge_u1(lat0,
+                         os.path.join(cfg_dir, "l256t256b60_heatbath.dat"))
+    # Plaquette of the shipped beta=6 config (recorded from read; guards
+    # the reader's ordering on the largest lattice).
+    plaq = float(np.real(np.asarray(u1.get_plaquette_u1(g, lat0))))
+    assert abs(plaq - PLAQ_256) < 1e-6, plaq
+    _pinned_kcycle(cfg_dir, 256, -0.06, 3)

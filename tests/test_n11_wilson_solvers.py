@@ -105,3 +105,19 @@ def test_gamma5_hermiticity(problem):
     lhs = op.gamma5(op.apply_M(op.gamma5(x)))
     rhs = op.apply_M(x, StencilType.DAGGER)
     np.testing.assert_allclose(np.asarray(lhs), np.asarray(rhs), atol=1e-12)
+
+
+def test_gcr_store_guard():
+    # Unrestarted GCR at scale would allocate a (max_iter, n) direction
+    # store (restart_freq=-1 hazard); the trace-time guard must fire
+    # before any device allocation, and the restarted path must not.
+    big = jnp.zeros((1 << 22,), jnp.complex128)
+    with pytest.raises(ValueError, match="direction store"):
+        solvers.gcr(lambda x: x, big, max_iter=100000)
+    with pytest.raises(ValueError, match="direction store"):
+        solvers.gcr_var_precond(lambda x: x, big,
+                                lambda r, c: (r, c), max_iter=100000)
+    res = solvers.gcr_restart(lambda x: 2 * x, jnp.ones((64,),
+                              jnp.complex128), max_iter=50, tol=1e-12,
+                              restart_freq=8)
+    assert bool(res.converged)
