@@ -90,15 +90,16 @@ def test_deflation_crosses_planes_boundary():
     resid = float(jnp.sqrt(norm2sq(b - op.apply_M(x)) / norm2sq(b)))
     assert resid < 1e-5
     # The projection must have been traced in (live, not dead weight):
-    # corrupting the eigenvalues to ~0 makes the deflation guess ~1e20x
-    # too large, so the corrupted solve cannot converge. Capped at 24
-    # outer iterations to bound the stagnating run's cost.
-    sp_bad, _ = make_planes_solver(mg, tol=1e-7, max_iter=24,
-                                   restart_freq=32)
+    # NaN eigenvalues poison the deflation initial guess, so the solve
+    # can only stay finite if the deflation path is dead. (NaN, not a
+    # tiny magnitude: 1e-20-scale corruption makes the stagnating run
+    # grind f32 DENORMAL arithmetic, which XLA:CPU's forced-multi-device
+    # threads run without flush-to-zero - a 27 s run became 40+ min
+    # under the 8-virtual-device test env.)
     st_bad = dict(st)
-    st_bad["cevals"] = st["cevals"] * 0 + np.float32(1e-20)
-    _, iters_bad, rsq_bad = jax.jit(sp_bad)(st_bad, b_p)
-    assert (int(iters_bad) >= 24) or (not np.isfinite(float(rsq_bad)))
+    st_bad["cevals"] = st["cevals"] * np.float32(np.nan)
+    _, iters_bad, rsq_bad = jax.jit(sp)(st_bad, b_p)
+    assert not np.isfinite(float(rsq_bad))
 
 
 def test_deflation_checkpoint_roundtrip(tmp_path):
