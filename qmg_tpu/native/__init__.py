@@ -34,6 +34,16 @@ def _load():
                 ctypes.c_uint64,                  # seed for this call
             ]
             lib.qmg_heatbath_sweeps.restype = None
+            lib.qmg_heatbath_sweeps_std.argtypes = [
+                ctypes.POINTER(ctypes.c_double),  # phases (2, Y, X)
+                ctypes.c_int, ctypes.c_int,       # Y, X
+                ctypes.c_double, ctypes.c_int,    # beta, n_update
+                ctypes.POINTER(ctypes.c_uint32),  # mt19937 state (624)
+                ctypes.POINTER(ctypes.c_int32),   # index
+                ctypes.POINTER(ctypes.c_double),  # saved normal
+                ctypes.POINTER(ctypes.c_int32),   # has_saved
+            ]
+            lib.qmg_heatbath_sweeps_std.restype = None
             _LIB = lib
         except OSError:
             _LIB = None
@@ -59,4 +69,36 @@ def heatbath_sweeps(ph: np.ndarray, beta: float, n_update: int, rng
     lib.qmg_heatbath_sweeps(
         ph.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
         yl, xl, float(beta), int(n_update), seed)
+    return ph
+
+
+def heatbath_sweeps_std(ph: np.ndarray, beta: float, n_update: int,
+                        std_rng) -> np.ndarray:
+    """C++ heatbath sweep continuing an rng.StdMT19937 stream BIT-EXACTLY.
+
+    The engine + Marsaglia-polar normal run in C++ on the Python
+    object's own state (624-word mt19937 state, index, cached normal),
+    which is written back afterwards - the composite stream is
+    indistinguishable from the pure-Python sweep (asserted in
+    tests/test_rng.py) at native speed.
+    """
+    lib = _load()
+    assert lib is not None
+    ph = np.ascontiguousarray(ph, dtype=np.float64)
+    mt = np.ascontiguousarray(std_rng._mt.astype(np.uint32))
+    idx = np.array([std_rng._idx], dtype=np.int32)
+    saved = np.array([std_rng._saved_normal
+                      if std_rng._saved_normal is not None else 0.0])
+    has = np.array([std_rng._saved_normal is not None], dtype=np.int32)
+    yl, xl = ph.shape[1], ph.shape[2]
+    lib.qmg_heatbath_sweeps_std(
+        ph.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        yl, xl, float(beta), int(n_update),
+        mt.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)),
+        idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        saved.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        has.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+    std_rng._mt = mt.astype(np.uint64)
+    std_rng._idx = int(idx[0])
+    std_rng._saved_normal = float(saved[0]) if has[0] else None
     return ph

@@ -124,7 +124,13 @@ class StdMT19937:
             r2 = x * x + y * y
             if r2 <= 1.0 and r2 != 0.0:
                 break
-        mult = np.sqrt(-2.0 * np.log(r2) / r2)
+        # math.log/math.sqrt = the C library's log/sqrt - the SAME
+        # functions libstdc++'s normal_distribution calls, so the stream
+        # is bit-exact vs both the g++ oracle and the native
+        # (heatbath.cpp) continuation of this stream. np.log deviates
+        # from libm by 1 ulp on some inputs.
+        import math
+        mult = math.sqrt(-2.0 * math.log(r2) / r2)
         self._saved_normal = x * mult
         return mean + y * mult * stddev
 

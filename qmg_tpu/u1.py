@@ -254,11 +254,15 @@ def heatbath_noncompact_update(phases, lat: Lattice2D, beta: float,
                    for mu in range(2)])  # (mu, Y, X)
     from . import native  # local import: optional compiled extension
     from .rng import StdMT19937
-    if isinstance(rng, StdMT19937) or not native.have_heatbath():
-        # StdMT19937 = bit-exact std::mt19937/std::normal_distribution
-        # parity mode: draw through the Python stream (the native path
-        # uses its own mt19937_64).
+    if not native.have_heatbath():
         ph = _heatbath_sweeps_numpy(ph, beta, n_update, rng)
+    elif isinstance(rng, StdMT19937):
+        # Bit-exact std::mt19937/std::normal_distribution parity mode:
+        # the C++ sweep continues the Python object's OWN stream (same
+        # engine + polar normal on the shared state, heatbath.cpp),
+        # so determinism parity no longer costs native speed
+        # (~350x; equality asserted in tests/test_rng.py).
+        ph = native.heatbath_sweeps_std(ph, beta, n_update, rng)
     else:
         ph = native.heatbath_sweeps(ph, beta, n_update, rng)
     return np.stack([eo_pack(ph[mu], lat) for mu in range(2)])

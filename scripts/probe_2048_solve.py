@@ -39,7 +39,7 @@ def main():
 
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        gauge = np.asarray(u1.hot_gauge_u1(lat, rng))
+        gauge = np.asarray(u1.gauss_gauge_u1(lat, rng, 6.0))
         clover, hopping = wilson_coeffs_numpy(lat, jnp.asarray(gauge))
         op = Wilson2D.__new__(Wilson2D)
         from qmg_tpu.stencil import Stencil2D, make_coeffs

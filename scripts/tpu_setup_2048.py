@@ -52,7 +52,7 @@ def main():
     t0 = time.time()
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        gauge = np.asarray(u1.hot_gauge_u1(lat, rng))
+        gauge = np.asarray(u1.gauss_gauge_u1(lat, rng, 6.0))
         seeds = gauss_seed_planes(lat, cfg, rng)
     gauge_p = host_to_planes(gauge)
     print(f"[2048] host gauge+seeds: {time.time() - t0:.1f} s", flush=True)
@@ -90,10 +90,11 @@ def main():
             dtype=jnp.complex64))
         mg = build_kcycle_hierarchy(lat, op, cfg, rng,
                                     structure_only=True)
-        solve, _ = make_planes_solver(mg, tol=1e-6, max_iter=200,
-                                      restart_freq=32,
-                                      use_pallas_fine=True,
-                                      pallas_kind="wilson-r1")
+        use_pallas = lat.xh % 128 == 0  # kernel lane requirement
+        solve, _ = make_planes_solver(
+            mg, tol=1e-6, max_iter=200, restart_freq=32,
+            use_pallas_fine=use_pallas,
+            pallas_kind="wilson-r1" if use_pallas else None)
         b = np.asarray(rng.gaussian_cv(lat)).astype(np.complex64)
     b_d = jax.device_put(host_to_planes(b), dev)
     jit = jax.jit(solve)
