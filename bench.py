@@ -62,6 +62,13 @@ def main(argv=None):
     p.add_argument("--no-direct", action="store_true",
                    help="kcycle mode: keep the iterative coarsest solve "
                         "instead of the dense-inverse direct one")
+    p.add_argument("--channels-first", default="auto",
+                   choices=["auto", "on", "off"],
+                   help="kcycle --setup device: run the setup stages in "
+                        "channels-first real-pair arithmetic (cf.py). "
+                        "auto = on at >= 2048^2, where the standard "
+                        "complex stages hit the XLA layout pathology "
+                        "(PERF.md 'Device-resident setup')")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
     args = p.parse_args(argv)
@@ -394,7 +401,10 @@ def bench_kcycle(args):
         # rng stream (setup_planes.py).
         from qmg_tpu.setup_planes import (make_kcycle_setup_planes,
                                           gauss_seed_planes)
-        setup_fn = make_kcycle_setup_planes(lat, cfg, -0.06)
+        cf = (L >= 2048 if args.channels_first == "auto"
+              else args.channels_first == "on")
+        setup_fn = make_kcycle_setup_planes(lat, cfg, -0.06,
+                                            channels_first=cf)
         seeds = gauss_seed_planes(lat, cfg, rng)
         gauge_p = host_to_planes(np.asarray(gauge))
         t0 = time.perf_counter()

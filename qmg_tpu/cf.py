@@ -424,22 +424,82 @@ def prolong_c2f_cf(nvb, coarse_cf, fine_lat, coarse_lat):
 
 
 # ---------------------------------------------------------------------------
-# Galerkin coarse build from a Wilson fine level (the cf form of
-# operators/coarse.build_coarse_coeffs for the phase-form fine operator;
-# reference operators/coarse.h:137-444). The fine clover is the scalar
-# 2w I (wilson.py:41), so its coarse image is 2w I exactly (orthonormal
-# blocks give R (2w P c) = 2w c); only the hopping probes run fine-
-# lattice pipelines.
+# Matrix-coefficient stencils in cf (the coarse levels): per-site
+# clover/hopping matmuls as 4 real einsums, with the three scalar
+# shifts (shift, eo_shift, dof_shift) applied as in stencil.apply_shift.
 # ---------------------------------------------------------------------------
 
 
-def galerkin_wilson_cf(nvb, phases_cf, fine_lat: Lattice2D,
-                       coarse_lat: Lattice2D, w: float = 1.0,
-                       chunk: int = 2):
-    """Returns (clover_cf, hopping_cf) of the coarse operator:
-    clover (2, 2c, row, col, Yc, Xhc), hopping (2, 4, 2c, row, col,
-    Yc, Xhc). ``nvb`` is the block-orthonormalized cf null-vector
-    tensor; ``phases_cf`` the fine Wilson phases."""
+def mat_planes_to_cf(p):
+    """clover planes (2p, Y, Xh, no, ni, 2) -> (2, 2p, no, ni, Y, Xh)."""
+    return jnp.moveaxis(p, (5, 3, 4), (0, 2, 3))
+
+
+def hop_planes_to_cf(p):
+    """hopping planes (4, 2p, Y, Xh, no, ni, 2) ->
+    (2, 4, 2p, no, ni, Y, Xh)."""
+    return jnp.moveaxis(p, (6, 4, 5), (0, 3, 4))
+
+
+def site_matvec_cf(m, x):
+    """Per-site complex matmul: m (2, 2p, no, ni, Y, Xh) x
+    (2, 2p, ni, Y, Xh) -> (2, 2p, no, Y, Xh)."""
+    re = (jnp.einsum("pijyx,pjyx->piyx", m[0], x[0])
+          - jnp.einsum("pijyx,pjyx->piyx", m[1], x[1]))
+    im = (jnp.einsum("pijyx,pjyx->piyx", m[0], x[1])
+          + jnp.einsum("pijyx,pjyx->piyx", m[1], x[0]))
+    return jnp.stack([re, im])
+
+
+def _pair_smul(pair, v):
+    """(complex scalar as a (2,) pair) * cf array."""
+    return jnp.stack([pair[0] * v[0] - pair[1] * v[1],
+                      pair[0] * v[1] + pair[1] * v[0]])
+
+
+def apply_shift_cf(shifts, x):
+    """stencil.apply_shift in cf: shifts (2, 3) pair-scalars
+    [shift, eo_shift, dof_shift]; x (2, 2p, nc, Y, Xh)."""
+    nc = x.shape[2]
+    even = _pair_smul(shifts[:, 0] + shifts[:, 1], x[:, 0])
+    odd = _pair_smul(shifts[:, 0] - shifts[:, 1], x[:, 1])
+    out = jnp.stack([even, odd], axis=1)
+    half = nc // 2
+    if nc % 2 == 0:
+        sign = jnp.concatenate([jnp.ones((half,), x.dtype),
+                                -jnp.ones((half,), x.dtype)])
+        out = out + _pair_smul(shifts[:, 2],
+                               x * sign[None, None, :, None, None])
+    return out
+
+
+def stencil_apply_cf(clover_cf, hopping_cf, shifts, x_cf):
+    """Full M x for a matrix-coefficient stencil in cf
+    (stencil.apply_M semantics, reference stencil_2d.h:912-936)."""
+    out = apply_shift_cf(shifts, x_cf)
+    if clover_cf is not None:
+        out = out + site_matvec_cf(clover_cf, x_cf)
+    for d in (DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1):
+        out = out + site_matvec_cf(hopping_cf[:, d], cshift_cf(x_cf, d))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Galerkin coarse build by probing (the cf form of
+# operators/coarse.build_coarse_coeffs; reference operators/coarse.h:
+# 137-444). ``hop_dir_apply(x_cf, d)`` applies one fine hopping
+# direction; ``clover_apply`` the fine clover - or pass ``clover_init``
+# when the fine clover's coarse image is known exactly (Wilson: the
+# scalar 2w I, whose image through orthonormal blocks is 2w I).
+# ---------------------------------------------------------------------------
+
+
+def galerkin_cf(nvb, hop_dir_apply, fine_lat: Lattice2D,
+                coarse_lat: Lattice2D, clover_apply=None,
+                clover_init=None, chunk: int = 2):
+    """Returns (clover_cf, hopping_cf): clover (2, 2c, row, col, Yc,
+    Xhc), hopping (2, 4, 2c, row, col, Yc, Xhc). ``nvb`` is the
+    block-orthonormalized cf null-vector tensor."""
     if coarse_lat.volume == 1 or coarse_lat.get_dim_mu(0) == 1 \
             or coarse_lat.get_dim_mu(1) == 1:
         raise ValueError(
@@ -448,28 +508,36 @@ def galerkin_wilson_cf(nvb, phases_cf, fine_lat: Lattice2D,
     ncc = coarse_lat.nc
     yc, xhc = coarse_lat.y_len, coarse_lat.xh
     dt = nvb.dtype
-    eye = jnp.eye(ncc, dtype=dt)
-    clover = jnp.zeros((2, 2, ncc, ncc, yc, xhc), dtype=dt)
-    clover = clover.at[0].set(
-        2.0 * w * eye[None, :, :, None, None])
+    clover = (clover_init if clover_init is not None
+              else jnp.zeros((2, 2, ncc, ncc, yc, xhc), dtype=dt))
     hopping = jnp.zeros((2, 4, 2, ncc, ncc, yc, xhc), dtype=dt)
 
     colors = jnp.arange(ncc)
-    _big = fine_lat.volume >= (1 << 19)
+    _big = fine_lat.volume * fine_lat.nc >= (1 << 20)
 
     def _map_colors(fn):
         if _big:
             return jax.lax.map(fn, colors, batch_size=chunk)
         return jax.vmap(fn)(colors)
 
-    dim_of_dir = {DIR_XP1: 0, DIR_YP1: 1, DIR_XM1: 0, DIR_YM1: 1}
+    if clover_apply is not None:
+        def clover_probe(color):
+            probe = jnp.zeros((2, 2, ncc, yc, xhc), dtype=dt)
+            probe = probe.at[0, :, color].set(1.0)
+            fine = prolong_c2f_cf(nvb, probe, fine_lat, coarse_lat)
+            return restrict_f2c_cf(nvb, clover_apply(fine), fine_lat,
+                                   coarse_lat)
+
+        res = _map_colors(clover_probe)
+        clover = clover + jnp.moveaxis(res, 0, 3)
+
     for d in (DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1):
         for parity in (0, 1):
             def hop_dir_probe(color, parity=parity, d=d):
                 probe = jnp.zeros((2, 2, ncc, yc, xhc), dtype=dt)
                 probe = probe.at[0, parity, color].set(1.0)
                 fine = prolong_c2f_cf(nvb, probe, fine_lat, coarse_lat)
-                afine = wilson_hop_dir_cf(phases_cf, fine, d, w)
+                afine = hop_dir_apply(fine, d)
                 return restrict_f2c_cf(nvb, afine, fine_lat, coarse_lat)
 
             res = _map_colors(hop_dir_probe)  # (col, 2, 2c, row, Yc, Xhc)
@@ -481,21 +549,23 @@ def galerkin_wilson_cf(nvb, phases_cf, fine_lat: Lattice2D,
     return clover, hopping
 
 
-def wilson_level_outputs_cf(phases_cf, gauss_cf, fine_lat: Lattice2D,
-                            coarse_lat: Lattice2D, mass, w: float,
-                            nullvec_max_iter: int, nullvec_tol,
-                            chunk: int = 2):
-    """The whole n13 fine-level setup stage in cf arithmetic: null-vector
+def level_outputs_cf(matvec, hop_dir_apply, gauss_cf,
+                     fine_lat: Lattice2D, coarse_lat: Lattice2D,
+                     nullvec_max_iter: int, nullvec_tol,
+                     clover_apply=None, clover_init=None,
+                     chunk: int = 2):
+    """One whole n13 setup stage in cf arithmetic: null-vector
     BiCGstab(l) solves -> orthogonalize -> chiral double -> block +
-    double block-ortho -> Galerkin coarse build (reference
-    n13:338-384 + transfer/coarse construction).
+    double block-ortho -> Galerkin coarse build (reference n13:338-384
+    + transfer/coarse construction).
 
     ``gauss_cf``: (n_half, 2, 2p, nc, Y, Xh) gaussian seeds. Returns
-    (nvb_cf, clover_cf, hopping_cf) - the blocked null vectors and the
-    coarse coefficients, all in cf layouts.
+    (nvb_cf, clover_cf, hopping_cf) in cf layouts. The chiral doubling
+    rule (zero the bottom/top dof half, normalize) covers both the
+    Wilson fine level (gamma5 = diag(1, -1) on spin) and the coarse
+    levels (gamma5 = sign flip on the dof halves).
     """
     n_half = gauss_cf.shape[0]
-    matvec = lambda v: wilson_apply_cf(phases_cf, v, mass, w)
     vecs = []
     for k in range(n_half):
         g = gauss_cf[k]
@@ -509,14 +579,14 @@ def wilson_level_outputs_cf(phases_cf, gauss_cf, fine_lat: Lattice2D,
         for wv in vecs:
             v = orthogonal_cf(v, wv)
         vecs.append(v)
-    # Chiral doubling (setup.chiral_double): ups (spin 0) then downs
-    # (spin 1), each normalized; gamma5 = diag(1, -1) on spin.
-    ups = [normalize_cf(v.at[:, :, 1].set(0.0)) for v in vecs]
-    downs = [normalize_cf(v.at[:, :, 0].set(0.0)) for v in vecs]
+    half = fine_lat.nc // 2
+    ups = [normalize_cf(v.at[:, :, half:].set(0.0)) for v in vecs]
+    downs = [normalize_cf(v.at[:, :, :half].set(0.0)) for v in vecs]
     nvb = jnp.stack([to_blocked_cf(v, fine_lat, coarse_lat)
                      for v in ups + downs], axis=1)
     nvb = block_orthonormalize_cf(nvb)
     nvb = block_orthonormalize_cf(nvb)
-    clover_c, hopping_c = galerkin_wilson_cf(nvb, phases_cf, fine_lat,
-                                             coarse_lat, w, chunk=chunk)
+    clover_c, hopping_c = galerkin_cf(
+        nvb, hop_dir_apply, fine_lat, coarse_lat,
+        clover_apply=clover_apply, clover_init=clover_init, chunk=chunk)
     return nvb, clover_c, hopping_c

@@ -153,7 +153,8 @@ def _direct_coarsest_dinv_traced(mg: StatefulMultigridMG, dtype):
 def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                              w: float = 1.0, dtype=jnp.complex64,
                              per_level_jit: bool = True, mesh=None,
-                             channels_first: bool = False):
+                             channels_first: bool = False,
+                             deflate_low: int = 0, deflate_high: int = 0):
     """Returns ``setup_fn(gauge_planes, *gauss_planes) -> state`` -- the
     n13 setup running on-device, producing the make_planes_solver state
     dict.
@@ -188,14 +189,24 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
     replicate, mirroring the tiny coarsest lattices. Requires
     ``per_level_jit``.
 
-    ``channels_first`` routes the FINE-level stage (the 90%-of-memory
-    stage) through cf.py: real-pair arithmetic with (Y, Xh)-minor
-    layouts and a phase-form Wilson matvec, which sidesteps the XLA
-    complex-buffer layout pathology that kills the standard stage at
-    2048^2 (PERF.md "Device-resident setup"). Same math, same seeds,
-    same trajectory (fixed-point BiCGstab(l) port); coarse levels are
-    unchanged. n13-shaped flows only (Wilson fine, bicgstab_l on the
-    ORIGINAL op, even x block, no rbjacobi precoarsening).
+    ``channels_first`` routes EVERY level's stage through cf.py:
+    real-pair arithmetic with (Y, Xh)-minor layouts — a phase-form
+    Wilson matvec on the fine level, per-site matrix stencils on the
+    coarse levels — which sidesteps the XLA complex-buffer layout
+    pathology that kills the standard stages at 2048^2 (PERF.md
+    "Device-resident setup"; the level-2 stage at 512^2/nc=8 hits the
+    same 16x padding as the fine stage). Same math, same seeds, same
+    trajectory (fixed-point BiCGstab(l) port). n13-shaped flows only
+    (Wilson fine, bicgstab_l on the ORIGINAL op, even x block, no
+    rbjacobi precoarsening).
+
+    ``deflate_low``/``deflate_high`` add a deflation stage (reference
+    deflate_coarsest, stateful_multigrid.h:613-696): the coarsest
+    NORMAL operator is densified on-device by basis probing and its
+    extreme eigenpairs (lowest/highest by real part) computed on the
+    host from the tiny dense matrix; ``cevals``/``cevecs`` join the
+    state dict so the planes solver applies the initial-guess
+    projection (:895-908). Requires a NORMAL coarsest stencil app.
     """
     if channels_first:
         if not per_level_jit:
@@ -235,6 +246,20 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                 "full basis; an 8 GB dense inverse at dim 32768 is "
                 "infeasible) - use a deeper hierarchy (larger "
                 "n_refine) or coarsest_direct=False")
+    if deflate_low or deflate_high:
+        if not per_level_jit:
+            raise ValueError("the deflation stage requires per_level_jit")
+        from .stateful import _NORMAL_TYPES
+        if StencilType(cfg.coarsest_stencil_app) not in _NORMAL_TYPES:
+            raise ValueError(
+                "deflation requires a NORMAL coarsest stencil app "
+                "(reference stateful_multigrid.h:625-631) - set "
+                "coarsest_stencil_app to MDAGGER_M / M_MDAGGER")
+        ndefl = int(np.prod(lats[-1].cv_shape()))
+        if ndefl > 4096:
+            raise ValueError(
+                f"coarsest dimension {ndefl} too large for the densify-"
+                "based deflation stage - deepen the hierarchy")
     n_half = cfg.coarse_dof // 2
     from .operators.wilson import Wilson2D
     from .operators.coarse import CoarseOperator2D
@@ -326,9 +351,17 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             phases = _cf.wilson_phases_cf(gauge_cf)
             gauss_cf = jnp.transpose(gauss_p, (0, 5, 1, 4, 2, 3)
                                      ).astype(rdt)
-            nvb_cf, clover_c, hopping_c = _cf.wilson_level_outputs_cf(
-                phases, gauss_cf, lats[0], lats[1], float(np.real(mass)),
-                w, cfg.nullvec_max_iter, cfg.nullvec_tol)
+            fmass = float(np.real(mass))
+            ncc = lats[1].nc
+            eye = jnp.eye(ncc, dtype=rdt)
+            clover_init = jnp.zeros(
+                (2, 2, ncc, ncc, lats[1].y_len, lats[1].xh), dtype=rdt
+            ).at[0].set(2.0 * w * eye[None, :, :, None, None])
+            nvb_cf, clover_c, hopping_c = _cf.level_outputs_cf(
+                lambda v: _cf.wilson_apply_cf(phases, v, fmass, w),
+                lambda x, d: _cf.wilson_hop_dir_cf(phases, x, d, w),
+                gauss_cf, lats[0], lats[1], cfg.nullvec_max_iter,
+                cfg.nullvec_tol, clover_init=clover_init)
             # Fine clover planes: 2w I (wilson.py:41).
             c0 = jnp.zeros(lat0.cm_shape() + (2,), rdt)
             c0 = c0.at[..., 0, 0, 0].set(2.0 * w)
@@ -356,8 +389,38 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                     jnp.transpose(hopping_c, (1, 2, 5, 6, 3, 4, 0)),
                     shifts1)
 
-        if channels_first:
-            _level1_fn = _level1_fn_cf
+        def _mk_level_fn_cf(i):
+            """Coarse-level setup stage in cf arithmetic: at 2048^2 the
+            LEVEL-2 stage (512^2, nc=8) hits the same complex-buffer
+            layout pathology as the fine stage (measured: 16x padding,
+            23.6 GB for a 2.2 GB program), so every sizeable level runs
+            channels-first."""
+            def _level_fn(clover_p, hopping_p, shifts_p, gauss_p):
+                from . import cf as _cf
+                rdt = (jnp.float64 if dtype == jnp.complex128
+                       else jnp.float32)
+                ccf = _cf.mat_planes_to_cf(clover_p).astype(rdt)
+                hcf = _cf.hop_planes_to_cf(hopping_p).astype(rdt)
+                sh = jnp.transpose(shifts_p, (1, 0)).astype(rdt)
+                gauss_cf = jnp.transpose(gauss_p, (0, 5, 1, 4, 2, 3)
+                                         ).astype(rdt)
+                nvb_cf, clover_c, hopping_c = _cf.level_outputs_cf(
+                    lambda v: _cf.stencil_apply_cf(ccf, hcf, sh, v),
+                    lambda x, d: _cf.site_matvec_cf(
+                        hcf[:, d], _cf.cshift_cf(x, d)),
+                    gauss_cf, lats[i - 1], lats[i],
+                    cfg.nullvec_max_iter, cfg.nullvec_tol,
+                    clover_apply=lambda x: _cf.site_matvec_cf(ccf, x))
+                # Coarse shifts: the scalar shift transfers, eo/dof
+                # reset (make_coeffs defaults in build_coarse_coeffs).
+                shifts_out = jnp.stack(
+                    [shifts_p[0], jnp.zeros_like(shifts_p[0]),
+                     jnp.zeros_like(shifts_p[0])])
+                return (jnp.transpose(nvb_cf, (1, 2, 4, 5, 3, 0)),
+                        jnp.transpose(clover_c, (1, 4, 5, 2, 3, 0)),
+                        jnp.transpose(hopping_c, (1, 2, 5, 6, 3, 4, 0)),
+                        shifts_out)
+            return _level_fn
 
         def _mk_level_fn(i):
             def _level_fn(clover_p, hopping_p, shifts_p, gauss_p):
@@ -383,11 +446,33 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             mat = mat + jnp.diag(dead.astype(mat.dtype))
             return to_planes(jnp.linalg.inv(mat))
 
+        def _densify_coarsest_fn(clover_p, hopping_p, shifts_p):
+            """Deflation stage, device half: densify the coarsest NORMAL
+            operator by probing (the heavy O(n) matvecs run on-device);
+            the tiny dense eig runs on the host (LAPACK on a <= 4096^2
+            matrix), mirroring StatefulMultigridMG.deflate_coarsest
+            (reference stateful_multigrid.h:613-696)."""
+            st = _reconstruct_stencil(cfg.n_refine, clover_p, hopping_p,
+                                      shifts_p)
+            matvec = st.get_apply_function(
+                StencilType(cfg.coarsest_stencil_app))
+            shape = lats[-1].cv_shape()
+            n = int(np.prod(shape))
+            basis = jnp.eye(n, dtype=dtype).reshape((n,) + tuple(shape))
+            cols = jax.lax.map(lambda v: matvec(v).reshape(n), basis,
+                               batch_size=min(n, 256))
+            return to_planes(cols.T)
+
+        if channels_first:
+            _level1_fn = _level1_fn_cf
+            _mk_level_fn = _mk_level_fn_cf
+
         if mesh is None:
             level1_jit = jax.jit(_level1_fn)
             level_jits = [jax.jit(_mk_level_fn(i))
                           for i in range(2, cfg.n_refine + 1)]
             cdinv_jit = jax.jit(_cdinv_fn)
+            densify_jit = jax.jit(_densify_coarsest_fn)
         else:
             crossover = _setup_mesh_crossover(lats, mesh)
             sh = _setup_shardings(lats, mesh, crossover)
@@ -409,6 +494,11 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             n = cfg.n_refine
             cdinv_jit = jax.jit(
                 _cdinv_fn,
+                in_shardings=(sh[n]["clover"], sh[n]["hopping"],
+                              sh[n]["scalar"]),
+                out_shardings=sh[n]["scalar"])
+            densify_jit = jax.jit(
+                _densify_coarsest_fn,
                 in_shardings=(sh[n]["clover"], sh[n]["hopping"],
                               sh[n]["scalar"]),
                 out_shardings=sh[n]["scalar"])
@@ -434,6 +524,34 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                 state["cdinv"] = cdinv_jit(
                     state[f"clover{n}"], state[f"hopping{n}"],
                     state[f"shifts{n}"])
+            if deflate_low or deflate_high:
+                # Deflation stage, host half: tiny dense eig of the
+                # device-densified coarsest normal op, selection by real
+                # part (deflate_coarsest semantics), planes back out -
+                # cevals/cevecs ride the state through make_planes_solver
+                # and checkpoint.save_hierarchy.
+                n = cfg.n_refine
+                mat_p = np.asarray(jax.device_get(densify_jit(
+                    state[f"clover{n}"], state[f"hopping{n}"],
+                    state[f"shifts{n}"])))
+                mat = (mat_p[..., 0] + 1j * mat_p[..., 1]).astype(
+                    np.complex128)
+                evals, evecs = np.linalg.eig(mat)
+                idx = np.argsort(evals.real)
+                sel = list(idx[:deflate_low]) + (
+                    list(idx[len(idx) - deflate_high:])
+                    if deflate_high else [])
+                shape = lats[-1].cv_shape()
+                vecs = evecs[:, sel].T.reshape((-1,) + tuple(shape))
+                nrms = np.sqrt(np.sum(np.abs(vecs) ** 2,
+                                      axis=tuple(range(1, vecs.ndim)),
+                                      keepdims=True))
+                rdt = (np.float64 if dtype == jnp.complex128
+                       else np.float32)
+                state["cevals"] = host_to_planes(
+                    evals[sel].astype(np.complex128), dtype=rdt)
+                state["cevecs"] = host_to_planes(
+                    (vecs / nrms).astype(np.complex128), dtype=rdt)
             return state
 
         return setup_fn

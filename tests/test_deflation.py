@@ -102,6 +102,80 @@ def test_deflation_crosses_planes_boundary():
     assert not np.isfinite(float(rsq_bad))
 
 
+def test_device_setup_deflation_stage():
+    """setup_planes deflation stage (deflate_low/deflate_high): the
+    coarsest normal op is densified ON DEVICE and its extreme eigenpairs
+    join the state dict. Oracle: each (lambda, v) in the state is an
+    exact eigenpair of the coarsest normal operator RECONSTRUCTED FROM
+    THE SAME STATE (matched matrix - no cross-build chaos), the
+    eigenvalues are the true lowest-4/highest-2 of that matrix, and the
+    deflated planes solve converges."""
+    import jax
+    from qmg_tpu.setup_planes import (make_kcycle_setup_planes,
+                                      gauss_seed_planes)
+    from qmg_tpu.tpu_compat import (make_planes_solver, host_to_planes,
+                                    from_planes)
+    from qmg_tpu.stencil import Stencil2D, make_coeffs
+    from qmg_tpu.operators.coarse import CoarseOperator2D
+
+    lat0 = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = np.asarray(u1.gauss_gauge_u1(lat0, rng, beta=6.0)).astype(
+        np.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4,
+                       coarsest_stencil_app=StencilType.MDAGGER_M,
+                       nullvec_max_iter=150, nullvec_tol=5e-4)
+    setup_fn = make_kcycle_setup_planes(lat0, cfg, -0.05,
+                                        deflate_low=4, deflate_high=2)
+    seeds = gauss_seed_planes(lat0, cfg, QMGRandom(99))
+    state = setup_fn(host_to_planes(g), *seeds)
+    assert state["cevecs"].shape[0] == 6
+
+    # Reconstruct the coarsest stencil from the state's own planes.
+    clat = Lattice2D(L // 4, L // 4, 4)
+    sh = np.asarray(from_planes(state["shifts1"]))
+    st = CoarseOperator2D.__new__(CoarseOperator2D)
+    Stencil2D.__init__(st, make_coeffs(
+        clat, clover=from_planes(state["clover1"]).astype(jnp.complex64),
+        hopping=from_planes(state["hopping1"]).astype(jnp.complex64),
+        shift=complex(sh[0]), eo_shift=complex(sh[1]),
+        dof_shift=complex(sh[2]), dtype=jnp.complex64))
+    st.is_chiral = True
+    mv = st.get_apply_function(StencilType.MDAGGER_M)
+
+    evals = np.asarray(from_planes(state["cevals"]))
+    evecs = from_planes(state["cevecs"]).astype(jnp.complex64)
+    for i in range(6):
+        v = evecs[i]
+        r = mv(v) - jnp.asarray(evals[i], jnp.complex64) * v
+        assert float(jnp.sqrt(norm2sq(r))) < 5e-4, i
+
+    # True extreme eigenvalues of the same matrix (dense oracle).
+    from qmg_tpu import eig
+    dense_vals, _ = eig.dense_eigensystem(mv, clat.cv_shape(),
+                                          dtype=jnp.complex64)
+    order = np.argsort(dense_vals.real)
+    want = np.concatenate([dense_vals[order[:4]], dense_vals[order[-2:]]])
+    np.testing.assert_allclose(np.sort(evals.real),
+                               np.sort(want.real), rtol=2e-3)
+
+    # Functional: the deflated planes solve converges on this state.
+    op = Wilson2D(lat0, -0.05, jnp.asarray(g), dtype=jnp.complex64)
+    mg_struct = build_kcycle_hierarchy(lat0, op, cfg, QMGRandom(1),
+                                       structure_only=True)
+    mg_struct.coarsest_solve.deflate = True
+    mg_struct.coarsest_evals = from_planes(state["cevals"])
+    mg_struct.coarsest_evecs = from_planes(state["cevecs"])
+    sp, _ = make_planes_solver(mg_struct, tol=1e-6, max_iter=300,
+                               restart_freq=32)
+    b = np.asarray(rng.gaussian_cv(lat0), np.complex64)
+    x_p, iters, _ = jax.jit(sp)(state, host_to_planes(b))
+    x = from_planes(x_p).astype(jnp.complex64)
+    bj = jnp.asarray(b)
+    resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
+    assert resid < 1e-4
+
+
 def test_deflation_checkpoint_roundtrip(tmp_path):
     """Deflation eigenpairs survive save_hierarchy/load_hierarchy
     (VERDICT r2: 'rebuilt-or-lost otherwise')."""
