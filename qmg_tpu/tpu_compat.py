@@ -47,31 +47,35 @@ def from_planes(p):
 # plane-encoded once on host; one jitted function decodes and solves.
 # ---------------------------------------------------------------------------
 
-def mg_state_planes(mg):
+def mg_state_planes(mg, dtype=np.float32):
     """Extract every complex array of a StatefulMultigridMG hierarchy as a
-    flat dict of float32 plane arrays (host numpy)."""
+    flat dict of ``dtype`` plane arrays (host numpy)."""
     state = {}
     for lvl in range(mg.get_num_levels()):
         st = mg.get_stencil(lvl)
         c = st.coeffs
         if c.clover is not None:
-            state[f"clover{lvl}"] = host_to_planes(np.asarray(c.clover))
+            state[f"clover{lvl}"] = host_to_planes(np.asarray(c.clover),
+                                                   dtype)
         if c.hopping is not None:
-            state[f"hopping{lvl}"] = host_to_planes(np.asarray(c.hopping))
+            state[f"hopping{lvl}"] = host_to_planes(np.asarray(c.hopping),
+                                                    dtype)
         state[f"shifts{lvl}"] = host_to_planes(np.asarray(
-            [complex(c.shift), complex(c.eo_shift), complex(c.dof_shift)],
-            np.complex64))
+            [complex(c.shift), complex(c.eo_shift), complex(c.dof_shift)]),
+            dtype)
     for lvl in range(mg.get_num_levels() - 1):
         t = mg.get_transfer(lvl)
-        state[f"nvb{lvl}"] = host_to_planes(np.asarray(t._nvb))
+        state[f"nvb{lvl}"] = host_to_planes(np.asarray(t._nvb), dtype)
     if mg.coarsest_dinv is not None:
-        state["cdinv"] = host_to_planes(np.asarray(mg.coarsest_dinv))
+        state["cdinv"] = host_to_planes(np.asarray(mg.coarsest_dinv), dtype)
     if mg.coarsest_evecs is not None:
         # Coarsest deflation state (reference stateful_multigrid.h:613-696)
         # rides the planes boundary so the TPU solve applies the same
         # initial-guess projection (:895-908) as the eager path.
-        state["cevals"] = host_to_planes(np.asarray(mg.coarsest_evals))
-        state["cevecs"] = host_to_planes(np.asarray(mg.coarsest_evecs))
+        state["cevals"] = host_to_planes(np.asarray(mg.coarsest_evals),
+                                         dtype)
+        state["cevecs"] = host_to_planes(np.asarray(mg.coarsest_evecs),
+                                         dtype)
     return state
 
 
