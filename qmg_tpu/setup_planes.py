@@ -198,7 +198,11 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
     same 16x padding as the fine stage). Same math, same seeds, same
     trajectory (fixed-point BiCGstab(l) port). n13-shaped flows only
     (Wilson fine, bicgstab_l on the ORIGINAL op, even x block, no
-    rbjacobi precoarsening).
+    rbjacobi precoarsening). Composes with ``mesh``: the cf stages keep
+    the STANDARD plane formats at stage boundaries, so the same
+    per-level NamedShardings apply and the SPMD partitioner
+    domain-decomposes the real-pair arithmetic exactly as it does the
+    complex stages (rolls -> ppermute halos, dots -> psum).
 
     ``deflate_low``/``deflate_high`` add a deflation stage (reference
     deflate_coarsest, stateful_multigrid.h:613-696): the coarsest
@@ -223,9 +227,6 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
         if cfg.x_block % 2:
             raise ValueError("channels_first blocking requires an even "
                              "x block")
-        if mesh is not None:
-            raise ValueError("channels_first + mesh is not supported "
-                             "yet (shard the standard stage instead)")
     if lat0.nc != 2:
         raise ValueError("make_kcycle_setup_planes builds the Wilson n13 "
                          f"flow; fine nc must be 2, got {lat0.nc}")

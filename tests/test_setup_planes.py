@@ -216,6 +216,43 @@ def test_mesh_sharded_setup_matches_single_device():
     assert not sh.is_fully_replicated
 
 
+def test_mesh_sharded_cf_setup_matches_single_device():
+    """channels_first composes with mesh: the cf stages keep standard
+    plane formats at stage boundaries, so the same NamedShardings apply
+    and the SPMD-partitioned cf setup must match the single-device cf
+    setup at fp64 (pinned trajectory; differences = psum orders)."""
+    from qmg_tpu import parallel
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    jax.clear_caches()  # big SPMD compiles (see test_sharded_dslash)
+    mesh = parallel.make_mesh(8)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=4, x_block=4, y_block=4,
+                       nullvec_max_iter=24, nullvec_tol=0.0,
+                       coarsest_direct=False)
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    gauge = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0))
+    seeds = gauss_seed_planes(lat, cfg, QMGRandom(999), dtype=np.float64)
+    gauge_p = host_to_planes(gauge, dtype=np.float64)
+
+    setup_u = make_kcycle_setup_planes(lat, cfg, MASS,
+                                       dtype=jnp.complex128,
+                                       channels_first=True)
+    state_u = setup_u(gauge_p, *seeds)
+    setup_s = make_kcycle_setup_planes(lat, cfg, MASS,
+                                       dtype=jnp.complex128, mesh=mesh,
+                                       channels_first=True)
+    state_s = setup_s(gauge_p, *seeds)
+    assert set(state_u) == set(state_s)
+    for k in sorted(state_u):
+        a = np.asarray(jax.device_get(state_u[k]))
+        c = np.asarray(jax.device_get(state_s[k]))
+        scale = max(float(np.max(np.abs(a))), 1e-30)
+        assert float(np.max(np.abs(a - c))) <= 1e-8 * scale, (
+            f"sharded cf setup diverged at {k}")
+    assert not state_s["clover0"].sharding.is_fully_replicated
+
+
 def test_mesh_sharded_setup_validates_tiling():
     from qmg_tpu import parallel
     if len(jax.devices()) < 8:
