@@ -62,6 +62,10 @@ def main(argv=None):
     p.add_argument("--no-direct", action="store_true",
                    help="kcycle mode: keep the iterative coarsest solve "
                         "instead of the dense-inverse direct one")
+    p.add_argument("--nrhs", type=int, default=1,
+                   help="kcycle mode: solve this many right-hand sides "
+                        "in ONE batched device program "
+                        "(make_batched_planes_solver); reports ms/rhs")
     p.add_argument("--channels-first", default="auto",
                    choices=["auto", "on", "off"],
                    help="kcycle --setup device: run the setup stages in "
@@ -360,8 +364,18 @@ def bench_kcycle(args):
         # a 64^2 x nc8 coarsest (L=1024 at n_refine=2) would mean
         # 32768 probes + an 8 GB dense inverse.
         n_refine = 2 if L <= 256 else (3 if L <= 1024 else 4)
+        # At 2048^2 the preallocated flat (R, n) GCR direction stores
+        # dominate HBM (outer R=32 store = 4 GiB; the level-1 inner
+        # store gets lane-padded 4x by XLA layout on the loop carry =
+        # another 4 GiB) and the solve program exceeds the 16 GB chip.
+        # The actual trajectories never reach those depths (~10 outer
+        # iters, inner tol 0.2 stops in <8), so right-size the stores.
+        restart = 16 if L >= 2048 else 32
+        inner_restart = 8 if L >= 2048 else 32
         cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8,
                            nullvec_tol=5e-4, nullvec_max_iter=200,
+                           inner_restart_freq=inner_restart,
+                           coarsest_restart_freq=restart,
                            coarsest_direct=not args.no_direct)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng,
                                     structure_only=args.setup == "device")
@@ -385,13 +399,24 @@ def bench_kcycle(args):
             use_pallas, kind = True, "small"
         else:
             use_pallas, kind = False, "matrix"
-        solve_planes, state = make_planes_solver(
-            mg, tol=tol, max_iter=200, restart_freq=32,
-            use_pallas_fine=use_pallas, pallas_kind=kind,
-            pallas_tile=args.tile,
-            coarse_apply=("jnp" if args.coarse_apply == "auto"
-                          else args.coarse_apply))
-        b_p = host_to_planes(rng.gaussian_cv(lat))
+        if args.nrhs > 1:
+            # Batched multi-RHS throughput mode (jnp fine apply; the
+            # Pallas kernels are single-field).
+            from qmg_tpu.tpu_compat import make_batched_planes_solver
+            solve_planes, state = make_batched_planes_solver(
+                mg, tol=tol, max_iter=200, restart_freq=restart,
+                coarse_apply=("jnp" if args.coarse_apply == "auto"
+                              else args.coarse_apply))
+            b_p = jnp.stack([host_to_planes(rng.gaussian_cv(lat))
+                             for _ in range(args.nrhs)])
+        else:
+            solve_planes, state = make_planes_solver(
+                mg, tol=tol, max_iter=200, restart_freq=restart,
+                use_pallas_fine=use_pallas, pallas_kind=kind,
+                pallas_tile=args.tile,
+                coarse_apply=("jnp" if args.coarse_apply == "auto"
+                              else args.coarse_apply))
+            b_p = host_to_planes(rng.gaussian_cv(lat))
 
     solve_jit = jax.jit(solve_planes)
     if args.setup == "device":
@@ -432,12 +457,24 @@ def bench_kcycle(args):
         state_dev = jax.device_put(state)
     b_dev = jax.device_put(b_p)
     xp, iters, res_sq = solve_jit(state_dev, b_dev)
-    int(iters)  # sync warmup
+    int(np.max(np.asarray(iters)))  # sync warmup
     t0 = time.perf_counter()
     xp, iters, res_sq = solve_jit(state_dev, b_dev)
-    n_it = int(iters)
+    n_it = int(np.max(np.asarray(iters)))
     dt = time.perf_counter() - t0
 
+    if args.nrhs > 1:
+        print(f"# wilson kcycle {L}x{L} c64 x{args.nrhs} rhs: per-rhs "
+              f"iters {np.asarray(iters).tolist()} to {tol} in "
+              f"{dt*1e3:.1f} ms total = {dt*1e3/args.nrhs:.1f} ms/rhs "
+              f"on {jax.devices()[0].device_kind}", file=sys.stderr)
+        print(json.dumps({
+            "metric": "wilson_kcycle_batched_ms_per_rhs",
+            "value": round(dt * 1e3 / args.nrhs, 2),
+            "unit": "ms",
+            "vs_baseline": args.nrhs,
+        }))
+        return
     print(f"# wilson kcycle {L}x{L} c64: {n_it} outer iters to {tol} in "
           f"{dt*1e3:.1f} ms ({dt*1e3/max(n_it,1):.1f} ms/iter), "
           f"res_sq={float(res_sq):.3e} on {jax.devices()[0].device_kind}",

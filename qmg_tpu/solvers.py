@@ -31,7 +31,13 @@ import jax.numpy as jnp
 from .linalg import vdot, norm2sq
 
 # Trace-time cap on the flat (R, n) GCR direction store (see _gcr_impl).
-GCR_STORE_LIMIT_BYTES = 2 * 1024 ** 3
+# Sized to half a v5e chip's HBM: a legitimate restart_freq=32 store at
+# 2048^2 is 4 GiB and must pass; the restart_freq=-1 hazard (R =
+# max_iter = 1000 at production sizes, tens-to-thousands of GiB) must
+# not. Under a mesh the store shards with the fields, so the effective
+# per-chip footprint is store/n_devices - raise the limit for large
+# multi-chip runs if needed.
+GCR_STORE_LIMIT_BYTES = 8 * 1024 ** 3
 
 __all__ = [
     "SolveResult", "cg", "cg_restart", "gcr", "gcr_restart", "bicgstab",

@@ -364,6 +364,36 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
     return solve_planes, state
 
 
+def make_batched_planes_solver(mg, **solver_kw):
+    """Multi-RHS (batched) planes solver: ``solve(state, B_planes)``
+    with ``B_planes`` carrying a leading rhs axis ``(nrhs, *cv, 2)``;
+    returns per-rhs ``(x_planes, iters, res_sq)`` stacked on the same
+    axis.
+
+    TPU-first throughput mode with NO reference counterpart: the
+    reference streams one propagator solve per source per config
+    (tests/n15_wilson_goldstone/wilson_goldstone.cpp source loop); here
+    the whole MG K-cycle is ``jax.vmap``-ed over the rhs axis, so every
+    level's matvecs/einsums gain a batch dimension (MXU-friendly,
+    amortizing the coarse-level dispatch latency that dominates small
+    lattices) and ONE device program solves all sources. Per-rhs
+    semantics are exact: XLA's while_loop batching masks carry updates
+    per lane, so each rhs follows its own trajectory, stops at its own
+    iteration count, and keeps its converged solution frozen while
+    other lanes finish (wall time = slowest rhs).
+
+    ``solver_kw`` forwards to make_planes_solver. Kernel routing note:
+    the Pallas fine kernels are written for single-field shapes; use
+    the default jnp fine apply (``use_pallas_fine=False``) under vmap.
+    """
+    if solver_kw.get("use_pallas_fine"):
+        raise ValueError("batched solves use the jnp fine apply; the "
+                         "Pallas kernels are single-field (vmap would "
+                         "fall back to slow per-lane dispatch)")
+    solve_planes, state = make_planes_solver(mg, **solver_kw)
+    return jax.vmap(solve_planes, in_axes=(None, 0)), state
+
+
 def make_refined_planes_solver(mg, tol: float = 1e-10,
                                inner_tol: float = 1e-5,
                                max_iter: int = 400, restart_freq: int = 32,

@@ -1,0 +1,85 @@
+"""Multi-RHS (batched) planes solver (tpu_compat.make_batched_planes_solver).
+
+TPU-first throughput mode: the whole MG K-cycle vmaps over a leading
+rhs axis. XLA's while_loop batching masks carry updates per lane, so
+each rhs must follow EXACTLY its own single-rhs trajectory - same
+iteration count, same solution - while sharing one device program.
+(The reference streams one solve per source: n15 wilson_goldstone.cpp.)
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from qmg_tpu.lattice import Lattice2D
+from qmg_tpu.operators import Wilson2D
+from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+from qmg_tpu.tpu_compat import (make_planes_solver,
+                                make_batched_planes_solver,
+                                host_to_planes, from_planes)
+from qmg_tpu import u1
+from qmg_tpu.rng import QMGRandom
+from qmg_tpu.linalg import norm2sq
+
+L = 32
+NRHS = 3
+
+
+def _problem():
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0)).astype(
+        np.complex64)
+    op = Wilson2D(lat, -0.05, jnp.asarray(g), dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=4, nullvec_max_iter=150,
+                       nullvec_tol=5e-4, coarsest_direct=True)
+    mg = build_kcycle_hierarchy(lat, op, cfg, QMGRandom(7))
+    # Distinct rhs: a gaussian, a point source, and a wall-ish source so
+    # the lanes converge at different iteration counts.
+    rhs = [np.asarray(rng.gaussian_cv(lat), np.complex64)]
+    pt = np.zeros(lat.cv_shape(), np.complex64)
+    pt[0, 0, 0, 0] = 1.0
+    rhs.append(pt)
+    wall = np.zeros(lat.cv_shape(), np.complex64)
+    wall[:, 0, :, :] = 1.0
+    rhs.append(wall)
+    return lat, op, mg, rhs
+
+
+def test_batched_matches_sequential():
+    lat, op, mg, rhs = _problem()
+    tol = 1e-5
+    sp, state = make_planes_solver(mg, tol=tol, max_iter=200,
+                                   restart_freq=32)
+    sp_jit = jax.jit(sp)
+    seq = [sp_jit(state, host_to_planes(b)) for b in rhs]
+
+    bsolve, bstate = make_batched_planes_solver(mg, tol=tol, max_iter=200,
+                                                restart_freq=32)
+    B_p = jnp.stack([host_to_planes(b) for b in rhs])
+    X_p, iters, res_sq = jax.jit(bsolve)(bstate, B_p)
+    assert X_p.shape[0] == NRHS
+
+    its = np.asarray(iters)
+    assert len(set(int(i) for i in its)) >= 2, (
+        "test rhs should converge at different counts")
+    for k, b in enumerate(rhs):
+        # Per-lane trajectory == the single-rhs trajectory (batched
+        # einsum reduction orders can flip the c64 stopping test by 1).
+        assert abs(int(its[k]) - int(seq[k][1])) <= 1, k
+        x = from_planes(X_p[k]).astype(jnp.complex64)
+        bj = jnp.asarray(b)
+        resid = float(jnp.sqrt(norm2sq(bj - op.apply_M(x)) / norm2sq(bj)))
+        assert resid < 10 * tol, (k, resid)
+        # Frozen-lane check: the batched solution matches the
+        # single-rhs solution, not an over-iterated one.
+        xs = from_planes(seq[k][0]).astype(jnp.complex64)
+        d = float(jnp.sqrt(norm2sq(x - xs) / norm2sq(xs)))
+        assert d < 1e-2, (k, d)
+
+
+def test_batched_rejects_pallas():
+    import pytest
+    _, _, mg, _ = _problem()
+    with pytest.raises(ValueError, match="jnp fine apply"):
+        make_batched_planes_solver(mg, use_pallas_fine=True)
