@@ -67,7 +67,7 @@ def main():
     mass = args.mass
 
     @jax.jit
-    def solve_planes(cpl, hpl, bpl):
+    def _solve_one(cpl, hpl, bpl):
         coeffs = make_coeffs(lat,
                              clover=(from_planes(cpl) if cpl is not None
                                      else None),
@@ -77,6 +77,12 @@ def main():
                                  from_planes(bpl), max_iter=4000, tol=tol,
                                  l=6)
         return to_planes(res.x), res.iters, res.converged.astype("int32")
+
+    # All dof sources solve in ONE batched device program (vmap over the
+    # source axis; while_loop batching keeps per-source trajectories
+    # exact) - the TPU-native form of the reference's source loop
+    # (n15:150). Returns stacked (nsrc, ...) planes/iters/flags.
+    _solve_batch = jax.jit(jax.vmap(_solve_one, in_axes=(None, None, 0)))
 
     # Point sources at the origin, one per dof (reference n15:133,:150).
     srcs = []
@@ -110,20 +116,18 @@ def main():
                 hopping = np.asarray(stag.coeffs.hopping)
             cpl = None
         hpl = host_to_planes(hopping, dtype=fdt)
+        xpls, iters_all, convs = _solve_batch(cpl, hpl,
+                                              jnp.stack(srcs))
+        iters = iters_all[-1]
+        if not all(int(c) for c in np.asarray(convs)):
+            print(f"[QMG-WARNING]: config {cfg} solve did not "
+                  f"converge (f32 breakdown?) - skipping config")
+            continue
         pion = np.zeros(L)
-        ok = True
-        for s in srcs:
-            xpl, iters, conv = solve_planes(cpl, hpl, s)
-            if not int(conv):
-                print(f"[QMG-WARNING]: config {cfg} solve did not "
-                      f"converge (f32 breakdown?) - skipping config")
-                ok = False
-                break
-            prop_sq = np.sum(np.asarray(xpl, dtype=np.float64) ** 2,
+        for xpl in np.asarray(xpls, dtype=np.float64):
+            prop_sq = np.sum(xpl ** 2,
                              axis=(0, 2, 3, 4))  # per-y |prop|^2
             pion += measure.fold_correlator(prop_sq)
-        if not ok:
-            continue
         pions.append(pion)
         # Observables on the CPU backend (the TPU rejects eager complex).
         with jax.default_device(jax.devices("cpu")[0]):
