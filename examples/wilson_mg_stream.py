@@ -58,7 +58,10 @@ def run_stream(L=32, beta=6.0, mass=-0.06, n_configs=10, n_therm=1000,
         solve_planes, _ = make_planes_solver(mg, tol=tol, max_iter=200,
                                              restart_freq=32)
     solve_jit = jax.jit(solve_planes)
-    setup_fn = make_kcycle_setup_planes(lat, cfg, mass)
+    # Channels-first stages at sizes where the standard complex stages
+    # hit the XLA layout pathology (PERF.md "2048^2 via channels-first").
+    setup_fn = make_kcycle_setup_planes(lat, cfg, mass,
+                                        channels_first=L >= 2048)
 
     # Point sources at the origin, one per spin (reference n16:468).
     srcs = []

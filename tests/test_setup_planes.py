@@ -432,6 +432,43 @@ def test_channels_first_drives_planes_solver():
     assert resid < 1e-4
 
 
+@pytest.mark.slow
+def test_channels_first_depth3_matches_standard_fp64():
+    """Depth-3 cf oracle: a 128^2 n_refine=3 hierarchy runs the cf
+    COARSE stage twice stacked (level-2 consumes level-1 cf outputs -
+    the coarse-to-coarse matrix-stencil path that the 2048^2 n_refine=4
+    flow exercises on hardware). Pinned trajectory, fp64, per-array
+    equivalence vs the standard traced stages."""
+    cfg = KCycleConfig(n_refine=3, coarse_dof=4, nullvec_max_iter=24,
+                       nullvec_tol=0.0, coarsest_direct=False)
+    lat = Lattice2D(128, 128, 2)
+    rng = QMGRandom(1337)
+    gauge = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0))
+    seeds = gauss_seed_planes(lat, cfg, QMGRandom(999), dtype=np.float64)
+    gauge_p = host_to_planes(gauge, dtype=np.float64)
+    state_std = make_kcycle_setup_planes(lat, cfg, MASS,
+                                         dtype=jnp.complex128)(
+        gauge_p, *seeds)
+    state_cf = make_kcycle_setup_planes(lat, cfg, MASS,
+                                        dtype=jnp.complex128,
+                                        channels_first=True)(
+        gauge_p, *seeds)
+    # Per-level bounds (PARITY.md "Setup equivalence oracles"): cf is a
+    # DIFFERENT arithmetic at every op, so its fp64 rounding differences
+    # amplify per Krylov stage (~1e3/stage measured at fp64). Levels
+    # 0-2 (one amplification stage deep) hold 1e-7; the level-3 outputs
+    # have passed through two stages (measured clover3 ~1.1e-3 - their
+    # inputs already differ at ~1e-7) and get a matching bound.
+    diffs = _rel_diffs(state_std, state_cf, np.float64)
+    lvl3 = ("nvb2", "clover3", "hopping3")
+    for k, rel in diffs.items():
+        bound = 5e-2 if k in lvl3 else 1e-7
+        assert rel < bound, f"{k}: rel diff {rel:.3e} vs bound {bound}"
+    print("[QMG-TEST] fp64 depth-3 std-vs-cf: level<=2 worst "
+          f"{max(v for k, v in diffs.items() if k not in lvl3):.2e}, "
+          f"level-3 worst {max(diffs[k] for k in lvl3):.2e}")
+
+
 def test_traced_setup_matches_eager_c64():
     """The c64 oracle, per-LEVEL (PARITY.md "Setup equivalence
     oracles"). Per-array equivalence at c64 holds exactly one Galerkin
