@@ -66,6 +66,13 @@ def main(argv=None):
                    help="kcycle mode: solve this many right-hand sides "
                         "in ONE batched device program "
                         "(make_batched_planes_solver); reports ms/rhs")
+    p.add_argument("--fixed-schedule", type=str, default=None,
+                   metavar="OUTER,INNER",
+                   help="kcycle --nrhs mode: fixed-trip-count schedule "
+                        "(e.g. '12,4') - every loop predicate becomes "
+                        "a trip counter, so the vmapped batch has no "
+                        "per-lane masking (make_fixed_batched_planes_"
+                        "solver)")
     p.add_argument("--channels-first", default="auto",
                    choices=["auto", "on", "off"],
                    help="kcycle --setup device: run the setup stages in "
@@ -402,11 +409,26 @@ def bench_kcycle(args):
         if args.nrhs > 1:
             # Batched multi-RHS throughput mode (jnp fine apply; the
             # Pallas kernels are single-field).
-            from qmg_tpu.tpu_compat import make_batched_planes_solver
-            solve_planes, state = make_batched_planes_solver(
-                mg, tol=tol, max_iter=200, restart_freq=restart,
-                coarse_apply=("jnp" if args.coarse_apply == "auto"
-                              else args.coarse_apply))
+            if args.fixed_schedule:
+                from qmg_tpu.tpu_compat import (
+                    make_fixed_batched_planes_solver)
+                outer_it, inner_it = map(int,
+                                         args.fixed_schedule.split(","))
+                for lvl in range(1, mg.get_num_levels() - 1):
+                    ls = mg.get_level_solve(lvl)
+                    ls.fixed_trips = True
+                    ls.intermediate_iters = inner_it
+                solve_planes, state = make_fixed_batched_planes_solver(
+                    mg, outer_iters=outer_it, tol=tol,
+                    restart_freq=restart,
+                    coarse_apply=("jnp" if args.coarse_apply == "auto"
+                                  else args.coarse_apply))
+            else:
+                from qmg_tpu.tpu_compat import make_batched_planes_solver
+                solve_planes, state = make_batched_planes_solver(
+                    mg, tol=tol, max_iter=200, restart_freq=restart,
+                    coarse_apply=("jnp" if args.coarse_apply == "auto"
+                                  else args.coarse_apply))
             b_p = jnp.stack([host_to_planes(rng.gaussian_cv(lat))
                              for _ in range(args.nrhs)])
         else:
@@ -464,8 +486,12 @@ def bench_kcycle(args):
     dt = time.perf_counter() - t0
 
     if args.nrhs > 1:
-        print(f"# wilson kcycle {L}x{L} c64 x{args.nrhs} rhs: per-rhs "
-              f"iters {np.asarray(iters).tolist()} to {tol} in "
+        sched = (f" fixed-schedule {args.fixed_schedule}"
+                 if args.fixed_schedule else "")
+        print(f"# wilson kcycle {L}x{L} c64 x{args.nrhs} rhs{sched}: "
+              f"per-rhs iters {np.asarray(iters).tolist()} "
+              f"(worst res_sq {float(np.max(np.asarray(res_sq))):.2e}, "
+              f"target {tol}) in "
               f"{dt*1e3:.1f} ms total = {dt*1e3/args.nrhs:.1f} ms/rhs "
               f"on {jax.devices()[0].device_kind}", file=sys.stderr)
         print(json.dumps({

@@ -116,6 +116,13 @@ class KCycleConfig:
     # TPU-native: invert the (tiny) coarsest operator at setup and solve
     # it with one dense matvec per K-cycle visit (stateful.py).
     coarsest_direct: bool = False
+    # TPU-native fixed-schedule mode: if > 0, every intermediate K-cycle
+    # Krylov runs EXACTLY this many GCR iterations instead of stopping
+    # at inner_tol (flexible GCR tolerates any inner variation). With a
+    # direct coarsest this removes every data-dependent inner stopping
+    # test, so a vmap-ed multi-RHS solve batches with no per-lane
+    # masking (tpu_compat.make_batched_planes_solver).
+    inner_fixed_iters: int = 0
 
 
 @dataclasses.dataclass
@@ -381,11 +388,14 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
             level_solve = LevelSolveMG(
                 fine_stencil_app=cfg.fine_stencil_app,
                 intermediate_tol=cfg.inner_tol,
-                intermediate_iters=cfg.inner_max_iter,
+                intermediate_iters=(cfg.inner_fixed_iters
+                                    if cfg.inner_fixed_iters > 0
+                                    else cfg.inner_max_iter),
                 intermediate_restart_freq=cfg.inner_restart_freq,
                 pre_tol=cfg.pre_smooth_tol, pre_iters=cfg.n_pre_smooth,
                 post_tol=cfg.post_smooth_tol,
-                post_iters=cfg.n_post_smooth)
+                post_iters=cfg.n_post_smooth,
+                fixed_trips=cfg.inner_fixed_iters > 0)
             mg.push_level(lat_i, t, level_solve, build_stencil=False,
                           is_chiral=is_chiral)
             mg.stencil_list[i] = st
@@ -405,10 +415,13 @@ def build_kcycle_hierarchy(lat0: Lattice2D, fine_op: Stencil2D,
         level_solve = LevelSolveMG(
             fine_stencil_app=cfg.fine_stencil_app,
             intermediate_tol=cfg.inner_tol,
-            intermediate_iters=cfg.inner_max_iter,
+            intermediate_iters=(cfg.inner_fixed_iters
+                                if cfg.inner_fixed_iters > 0
+                                else cfg.inner_max_iter),
             intermediate_restart_freq=cfg.inner_restart_freq,
             pre_tol=cfg.pre_smooth_tol, pre_iters=cfg.n_pre_smooth,
-            post_tol=cfg.post_smooth_tol, post_iters=cfg.n_post_smooth)
+            post_tol=cfg.post_smooth_tol, post_iters=cfg.n_post_smooth,
+            fixed_trips=cfg.inner_fixed_iters > 0)
         from .multigrid import PRECOND_RIGHT_BLOCK_JACOBI, PRECOND_ORIGINAL
         mg.push_level(
             lat_i, transfer, level_solve, build_stencil=True,

@@ -606,11 +606,14 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             level_solve = LevelSolveMG(
                 fine_stencil_app=cfg.fine_stencil_app,
                 intermediate_tol=cfg.inner_tol,
-                intermediate_iters=cfg.inner_max_iter,
+                intermediate_iters=(cfg.inner_fixed_iters
+                                    if cfg.inner_fixed_iters > 0
+                                    else cfg.inner_max_iter),
                 intermediate_restart_freq=cfg.inner_restart_freq,
                 pre_tol=cfg.pre_smooth_tol, pre_iters=cfg.n_pre_smooth,
                 post_tol=cfg.post_smooth_tol,
-                post_iters=cfg.n_post_smooth)
+                post_iters=cfg.n_post_smooth,
+                fixed_trips=cfg.inner_fixed_iters > 0)
             mg.push_level(
                 lats[i], transfer, level_solve, build_stencil=True,
                 is_chiral=True,

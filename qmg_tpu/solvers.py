@@ -137,7 +137,8 @@ def cg_restart(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
 # ---------------------------------------------------------------------------
 
 def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
-              precond=None, precond_carry=None, verbose=None):
+              precond=None, precond_carry=None, verbose=None,
+              fixed_trips: bool = False):
     x0 = jnp.zeros_like(b) if x0 is None else x0
     bsq = norm2sq(b)
     target = jnp.real(tol) ** 2 * bsq
@@ -175,6 +176,14 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
 
     def cond(s):
         x, r, rsq, ps, aps, apsq, j, k, ops, carry = s
+        if fixed_trips:
+            # Fixed-schedule mode: the predicate depends ONLY on the
+            # (unbatched) trip counter, so a vmap-ed solve batches with
+            # NO per-lane masking selects on the carries - the whole
+            # body stays a clean batched program (make_batched_planes_
+            # solver). Runs exactly max_iter trips; `converged` still
+            # reports the tolerance test.
+            return k < max_iter
         return jnp.logical_and(jnp.isfinite(rsq),
                                jnp.logical_and(k < max_iter, rsq > target))
 
@@ -241,22 +250,25 @@ def gcr_restart(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
 
 
 def gcr_var_precond(matvec, b, precond, x0=None, max_iter: int = 1000,
-                    tol=1e-8, precond_carry=None, verbose=None):
+                    tol=1e-8, precond_carry=None, verbose=None,
+                    fixed_trips: bool = False):
     """Flexible GCR with a variable (possibly nonlinear) preconditioner -
     the outer solver of the reference's MG stack
     (quantum-linalg minv_vector_gcr_var_precond)."""
     return _gcr_impl(matvec, b, x0, max_iter, tol,
                      restart_len=max(int(max_iter), 1), precond=precond,
-                     precond_carry=precond_carry, verbose=verbose)
+                     precond_carry=precond_carry, verbose=verbose,
+                     fixed_trips=fixed_trips)
 
 
 def gcr_var_precond_restart(matvec, b, precond, x0=None,
                             max_iter: int = 1000, tol=1e-8,
                             restart_freq: int = 32, precond_carry=None,
-                            verbose=None):
+                            verbose=None, fixed_trips: bool = False):
     return _gcr_impl(matvec, b, x0, max_iter, tol,
                      restart_len=int(restart_freq), precond=precond,
-                     precond_carry=precond_carry, verbose=verbose)
+                     precond_carry=precond_carry, verbose=verbose,
+                     fixed_trips=fixed_trips)
 
 
 # ---------------------------------------------------------------------------

@@ -53,6 +53,12 @@ class LevelSolveMG:
     post_tol: float = 1e-20
     post_iters: int = 2
     post_cgne: bool = False
+    # Fixed-schedule mode: the intermediate K-cycle Krylov runs EXACTLY
+    # intermediate_iters trips (tolerance reported, not tested). The
+    # loop predicate then depends only on the trip counter, so a
+    # vmap-ed (multi-RHS) solve batches with no per-lane masking
+    # selects - see solvers._gcr_impl(fixed_trips=...).
+    fixed_trips: bool = False
 
     def __post_init__(self):
         ok = (StencilType.ORIGINAL, StencilType.RIGHT_JACOBI,
@@ -322,12 +328,14 @@ class StatefulMultigridMG(MultigridMG):
             coarse_max_iter = nxt.intermediate_iters
             coarse_tol = nxt.intermediate_tol
             coarse_restart = nxt.intermediate_restart_freq
+            coarse_fixed = nxt.fixed_trips
         else:
             cs = self.coarsest_solve
             coarse_type = StencilType(cs.coarsest_stencil_app)
             coarse_max_iter = cs.coarsest_iters
             coarse_tol = cs.coarsest_tol
             coarse_restart = cs.coarsest_restart_freq
+            coarse_fixed = False
         apply_coarse = self._apply_level(level + 1, coarse_type)
         coarsest_normal = coarse_type in _NORMAL_TYPES
         vprefix = ("  " * (level + 1)
@@ -441,13 +449,14 @@ class StatefulMultigridMG(MultigridMG):
                     res, carry = solvers.gcr_var_precond(
                         apply_coarse, r_coarse_prep, inner_precond,
                         max_iter=coarse_max_iter, tol=inner_tol,
-                        precond_carry=carry, verbose=vprefix)
+                        precond_carry=carry, verbose=vprefix,
+                        fixed_trips=coarse_fixed)
                 else:
                     res, carry = solvers.gcr_var_precond_restart(
                         apply_coarse, r_coarse_prep, inner_precond,
                         max_iter=coarse_max_iter, tol=inner_tol,
                         restart_freq=coarse_restart, precond_carry=carry,
-                        verbose=vprefix)
+                        verbose=vprefix, fixed_trips=coarse_fixed)
                 e_coarse = res.x
                 sub_iters, sub_ops = res.iters, res.ops_count
             carry = dict(carry)

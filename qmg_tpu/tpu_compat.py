@@ -86,7 +86,8 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        pallas_kind: str = "matrix",
                        coarse_apply: str = "jnp",
                        outer_type=None,
-                       mesh=None):
+                       mesh=None,
+                       fixed_outer_iters=None):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
@@ -344,9 +345,19 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                      "iters": jnp.zeros((n_levels,), jnp.int32)}
             rhs = (b if otype == StencilType.ORIGINAL
                    else fine_st.prepare_M(b, otype))
-            res, carry = solvers.gcr_var_precond_restart(
-                matvec, rhs, precond, max_iter=max_iter, tol=tol,
-                restart_freq=restart_freq, precond_carry=carry)
+            if fixed_outer_iters:
+                # Fixed-schedule outer: exactly fixed_outer_iters FGCR
+                # trips, predicate on the trip counter only (vmap
+                # batches with no masking; see make_batched_planes_
+                # solver). tol still sets the reported res_sq target.
+                res, carry = solvers.gcr_var_precond_restart(
+                    matvec, rhs, precond, max_iter=int(fixed_outer_iters),
+                    tol=tol, restart_freq=restart_freq,
+                    precond_carry=carry, fixed_trips=True)
+            else:
+                res, carry = solvers.gcr_var_precond_restart(
+                    matvec, rhs, precond, max_iter=max_iter, tol=tol,
+                    restart_freq=restart_freq, precond_carry=carry)
             x = (res.x if otype == StencilType.ORIGINAL
                  else fine_st.reconstruct_M(res.x, b, otype))
             return (to_planes(x), res.iters,
@@ -391,6 +402,41 @@ def make_batched_planes_solver(mg, **solver_kw):
                          "Pallas kernels are single-field (vmap would "
                          "fall back to slow per-lane dispatch)")
     solve_planes, state = make_planes_solver(mg, **solver_kw)
+    return jax.vmap(solve_planes, in_axes=(None, 0)), state
+
+
+def make_fixed_batched_planes_solver(mg, outer_iters: int, **solver_kw):
+    """Fixed-schedule batched multi-RHS solver: like
+    make_batched_planes_solver, but every loop in the program has a
+    TRIP-COUNT predicate - the outer FGCR runs exactly ``outer_iters``
+    trips, the intermediate K-cycle Krylovs run their fixed counts
+    (build the hierarchy with KCycleConfig(inner_fixed_iters=...)), the
+    smoothers are already fixed-count, and the coarsest must be direct.
+    With no data-dependent stopping test anywhere, jax.vmap batches the
+    whole solve with NO per-lane masking selects - the batched program
+    is structurally identical to the single-rhs one with a batch axis.
+
+    Calibrate ``outer_iters`` from one adaptive solve (the returned
+    res_sq reports the achieved residual so under-shooting is visible).
+    Requires a direct coarsest (the iterative coarsest still carries a
+    tolerance loop).
+    """
+    if not (mg.coarsest_solve.direct and mg.coarsest_dinv is not None) \
+            and not solver_kw.get("_allow_iterative_coarsest", False):
+        raise ValueError("fixed-schedule batched solves need a direct "
+                         "coarsest (prepare_direct_coarsest / "
+                         "KCycleConfig(coarsest_direct=True)): the "
+                         "iterative coarsest keeps a tolerance loop "
+                         "that re-introduces per-lane masking")
+    for lvl in range(1, mg.get_num_levels() - 1):
+        if not mg.get_level_solve(lvl).fixed_trips:
+            raise ValueError(
+                f"level-{lvl} intermediate solve is not fixed_trips - "
+                "build the hierarchy with KCycleConfig("
+                "inner_fixed_iters=k)")
+    solver_kw.pop("_allow_iterative_coarsest", None)
+    solve_planes, state = make_planes_solver(
+        mg, fixed_outer_iters=int(outer_iters), **solver_kw)
     return jax.vmap(solve_planes, in_axes=(None, 0)), state
 
 

@@ -25,6 +25,19 @@ import pytest  # noqa: E402
 REFERENCE_CFGS = "/root/reference/tests/common_cfgs_u1"
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jit_caches_per_module():
+    # XLA's CPU compiler has been observed to SEGFAULT on large modules
+    # late in a long suite run (first seen on the sharded SPMD compiles
+    # at ~120 accumulated executables, then on the adaptive-setup
+    # compiles at ~95 once the suite grew). Dropping the jit caches at
+    # every module boundary bounds the accumulated executable count and
+    # reliably avoids it; within-module caching (where compiles are
+    # actually shared) is unaffected.
+    jax.clear_caches()
+    yield
+
+
 @pytest.fixture
 def cfg_dir():
     if not os.path.isdir(REFERENCE_CFGS):

@@ -78,6 +78,54 @@ def test_batched_matches_sequential():
         assert d < 1e-2, (k, d)
 
 
+def test_fixed_schedule_batched_solver():
+    """Fixed-schedule mode: with inner_fixed_iters + direct coarsest +
+    fixed outer trips, NO loop in the program has a data-dependent
+    stopping test, so the vmapped solve batches with no per-lane
+    masking. Oracle: the fixed-schedule batched solve still converges
+    (true residuals below tol x margin) and reports the achieved
+    residual honestly."""
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0)).astype(
+        np.complex64)
+    op = Wilson2D(lat, -0.05, jnp.asarray(g), dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=4, nullvec_max_iter=150,
+                       nullvec_tol=5e-4, coarsest_direct=True,
+                       inner_fixed_iters=4)
+    mg = build_kcycle_hierarchy(lat, op, cfg, QMGRandom(7))
+    assert mg.get_level_solve(1).fixed_trips
+
+    from qmg_tpu.tpu_compat import make_fixed_batched_planes_solver
+    bsolve, state = make_fixed_batched_planes_solver(
+        mg, outer_iters=16, tol=1e-5, restart_freq=16)
+    B_p = jnp.stack([host_to_planes(
+        np.asarray(rng.gaussian_cv(lat), np.complex64)) for _ in range(3)])
+    X_p, iters, res_sq = jax.jit(bsolve)(state, B_p)
+    assert np.all(np.asarray(iters) == 16)  # fixed trips, by construction
+    for k in range(3):
+        x = from_planes(X_p[k]).astype(jnp.complex64)
+        b = from_planes(B_p[k]).astype(jnp.complex64)
+        resid = float(jnp.sqrt(norm2sq(b - op.apply_M(x)) / norm2sq(b)))
+        assert resid < 1e-4, (k, resid)
+
+
+def test_fixed_schedule_requires_direct_coarsest():
+    import pytest
+    from qmg_tpu.tpu_compat import make_fixed_batched_planes_solver
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0)).astype(
+        np.complex64)
+    op = Wilson2D(lat, -0.05, jnp.asarray(g), dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, nullvec_max_iter=100,
+                       nullvec_tol=5e-4, coarsest_direct=False,
+                       inner_fixed_iters=4)
+    mg = build_kcycle_hierarchy(lat, op, cfg, QMGRandom(7))
+    with pytest.raises(ValueError, match="direct coarsest"):
+        make_fixed_batched_planes_solver(mg, outer_iters=8)
+
+
 def test_batched_rejects_pallas():
     import pytest
     _, _, mg, _ = _problem()
