@@ -188,8 +188,17 @@ def make_sharded_pallas_wilson(coeffs: StencilCoeffs, mesh: Mesh,
         return kernel(ph_loc, frame)
 
     pspec = P(None, None, None, "y", None)
-    sharded = shard_map(local_apply, mesh=mesh, in_specs=(pspec, pspec),
-                        out_specs=pspec)
+    # check_vma=False: pallas_call does not annotate its outputs with
+    # varying-mesh-axes metadata, so shard_map's vma check (the
+    # replication checker) rejects any kernel-in-shard_map composition.
+    # Correctness is covered by the trajectory/equivalence tests.
+    try:
+        sharded = shard_map(local_apply, mesh=mesh,
+                            in_specs=(pspec, pspec), out_specs=pspec,
+                            check_vma=False)
+    except TypeError:  # older shard_map signature
+        sharded = shard_map(local_apply, mesh=mesh,
+                            in_specs=(pspec, pspec), out_specs=pspec)
 
     def apply_fn(x):
         out = sharded(phases, x_to_planes(x))

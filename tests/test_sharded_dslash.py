@@ -223,11 +223,15 @@ def test_planes_solver_mesh_pallas_trajectory(ymesh):
     b = jnp.asarray(rng.gaussian_cv(lat))
     b_p = host_to_planes(np.asarray(b, np.complex64))
 
-    sp0, st0 = make_planes_solver(mg, tol=1e-6, max_iter=200,
+    # tol must sit ABOVE the c64 stagnation floor (~1e-6 relative,
+    # rsq ~1e-12 x bsq): AT the floor, iteration counts are chaotic in
+    # the reduction order (measured: 33 unsharded vs 16 mesh at
+    # tol=1e-6, while at 1e-5 every path lands on exactly 14).
+    sp0, st0 = make_planes_solver(mg, tol=1e-5, max_iter=200,
                                   restart_freq=32)
     _, iters0, _ = jax.jit(sp0)(st0, b_p)
 
-    sp, st = make_planes_solver(mg, tol=1e-6, max_iter=200,
+    sp, st = make_planes_solver(mg, tol=1e-5, max_iter=200,
                                 restart_freq=32, mesh=ymesh,
                                 use_pallas_fine=True,
                                 pallas_kind="wilson-r1",
@@ -239,4 +243,4 @@ def test_planes_solver_mesh_pallas_trajectory(ymesh):
     assert abs(int(iters) - int(iters0)) <= 1
     x = from_planes(x_p).astype(b.dtype)
     resid = float(jnp.sqrt(norm2sq(b - op.apply_M(x)) / norm2sq(b)))
-    assert resid < 1e-5
+    assert resid < 1e-4

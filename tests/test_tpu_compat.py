@@ -253,5 +253,7 @@ def test_planes_solver_on_mesh():
     np.testing.assert_allclose(np.asarray(xm_p), np.asarray(x0_p),
                                atol=2e-5)
     import pytest as _pytest
-    with _pytest.raises(ValueError, match="mutually exclusive"):
+    # mesh + pallas composes only through the sharded wilson-r1 kernel;
+    # other kernel kinds stay single-chip.
+    with _pytest.raises(ValueError, match="wilson-r1"):
         make_planes_solver(mg, use_pallas_fine=True, mesh=mesh)
