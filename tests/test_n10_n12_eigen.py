@@ -137,3 +137,32 @@ def test_arnoldi_iterative_path_smallest_magnitude(monkeypatch):
         v = jnp.asarray(vecs[i])
         r = mv(v) - vals[i] * v
         assert float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))) < 1e-6
+
+
+def test_shift_invert_smallest_magnitude():
+    """Shift-invert Arnoldi nails the smallest-|lambda| Wilson spectrum
+    at the DEFAULT subspace size, where plain Arnoldi at 32^2 needs
+    ncv=64 and hundreds of restarts (TPU-native extra beyond the
+    reference's regular-mode ARPACK)."""
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat, rng, beta=6.0)
+    op = Wilson2D(lat, -0.05, g)
+    mv = op.get_apply_function()
+
+    from qmg_tpu import solvers
+
+    def solve(v):
+        return solvers.bicgstab_l(mv, v, max_iter=2000, tol=1e-10).x
+
+    vals, vecs = eig.shift_invert_eigensystem(solve, lat.cv_shape(),
+                                              nev=6, sigma=0.0,
+                                              tol=1e-8, matvec=mv)
+    dense_vals, _ = eig.dense_eigensystem(mv, lat.cv_shape())
+    want = dense_vals[np.argsort(np.abs(dense_vals))[:6]]
+    np.testing.assert_allclose(np.sort(np.abs(vals)),
+                               np.sort(np.abs(want)), rtol=1e-6)
+    for i in range(6):
+        v = jnp.asarray(vecs[i])
+        r = mv(v) - vals[i] * v
+        assert float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))) < 1e-6
