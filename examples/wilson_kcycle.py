@@ -43,6 +43,11 @@ def main():
                    help="print the full fine + coarsened spectra "
                         "(reference n13 do_spectrum, wilson_kcycle.cpp:"
                         "482-522)")
+    p.add_argument("--spectrum-nev", type=int, default=0,
+                   help="with --spectrum: print only the nev smallest-"
+                        "|lambda| eigenvalues per level via shift-invert "
+                        "Arnoldi (usable at sizes where the dense "
+                        "full-spectrum path is infeasible)")
     p.add_argument("--colinear-nev", type=int, default=64,
                    help="number of lowest-|lambda| eigenvectors in the "
                         "--colinear study (0 = the full spectrum, the "
@@ -135,8 +140,16 @@ def main():
         from qmg_tpu import eig
         for lvl, tag in ((0, "ORIG-SPECTRUM"), (1, "COARSE-SPECTRUM")):
             st = mg.get_stencil(lvl)
-            evals, _ = eig.dense_eigensystem(st.get_apply_function(),
-                                             st.lat.cv_shape())
+            mv = st.get_apply_function()
+            if args.spectrum_nev > 0:
+                def _solve(v, mv=mv):
+                    return solvers.bicgstab_l(mv, v, max_iter=4000,
+                                              tol=1e-10).x
+                evals, _ = eig.shift_invert_eigensystem(
+                    _solve, st.lat.cv_shape(), nev=args.spectrum_nev,
+                    sigma=0.0, matvec=mv)
+            else:
+                evals, _ = eig.dense_eigensystem(mv, st.lat.cv_shape())
             for i, ev in enumerate(evals):
                 print(f"[{tag}]: {i} {ev.real} + I {ev.imag}")
 
