@@ -166,3 +166,44 @@ def test_shift_invert_smallest_magnitude():
         v = jnp.asarray(vecs[i])
         r = mv(v) - vals[i] * v
         assert float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))) < 1e-6
+
+
+@pytest.mark.slow
+def test_shift_invert_with_mg_inner_solve():
+    """The production composition: the MG K-cycle planes solver as the
+    shift-invert inner operator, traced INSIDE the jitted Arnoldi sweep
+    (one compiled program = Arnoldi step + full MG solve). c64
+    throughout - the TPU-shaped path for computing deflation-grade low
+    modes at sizes where dense/plain-Arnoldi are infeasible."""
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.tpu_compat import make_planes_solver, to_planes, \
+        from_planes
+    lat = Lattice2D(32, 32, 2)
+    rng = QMGRandom(1337)
+    g = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0)).astype(
+        np.complex64)
+    op = Wilson2D(lat, -0.05, jnp.asarray(g), dtype=jnp.complex64)
+    cfg = KCycleConfig(n_refine=2, coarse_dof=4, nullvec_max_iter=150,
+                       nullvec_tol=5e-4, coarsest_direct=True)
+    mg = build_kcycle_hierarchy(lat, op, cfg, QMGRandom(7))
+    sp, state = make_planes_solver(mg, tol=1e-6, max_iter=200,
+                                   restart_freq=16)
+    mv = op.get_apply_function()
+
+    def solve(v):
+        x_p, _, _ = sp(state, to_planes(v.astype(jnp.complex64)))
+        return from_planes(x_p).astype(v.dtype)
+
+    vals, vecs = eig.shift_invert_eigensystem(
+        solve, lat.cv_shape(), nev=6, sigma=0.0, tol=1e-7,
+        dtype=jnp.complex64, matvec=mv)
+    dense_vals, _ = eig.dense_eigensystem(mv, lat.cv_shape(),
+                                          dtype=jnp.complex64)
+    want = dense_vals[np.argsort(np.abs(dense_vals))[:6]]
+    np.testing.assert_allclose(np.sort(np.abs(vals)),
+                               np.sort(np.abs(want)), rtol=1e-5)
+    for i in range(6):
+        v = jnp.asarray(vecs[i])
+        r = mv(v) - jnp.asarray(vals[i], jnp.complex64) * v
+        # c64 floor: the inner solve stops at 1e-6 relative.
+        assert float(jnp.sqrt(jnp.sum(jnp.abs(r) ** 2))) < 5e-6
