@@ -95,6 +95,22 @@ def main_with_args(args):
             jax.config.update("jax_platforms", "axon,cpu")
     except Exception:
         pass
+    # The remote-TPU tunnel can die outright (observed: axon register()
+    # hangs forever inside native code when the relay endpoint is down -
+    # not interruptible by Python-level signals). Probe backend init in
+    # a SUBPROCESS with a hard timeout so the driver gets a clean
+    # failure instead of an indefinite hang.
+    if _os.environ.get("JAX_PLATFORMS", "").startswith("axon"):
+        import subprocess as _sp
+        try:
+            _sp.run([sys.executable, "-c",
+                     "import jax; jax.devices()"],
+                    timeout=600, check=True, capture_output=True)
+        except (_sp.TimeoutExpired, _sp.CalledProcessError) as _e:
+            print("# FATAL: TPU backend initialization failed/timed out "
+                  f"({type(_e).__name__}) - axon tunnel down? No "
+                  "benchmark result.", file=sys.stderr)
+            raise SystemExit(3)
     import jax.numpy as jnp
     from qmg_tpu.lattice import Lattice2D
     from qmg_tpu.stencil import apply_M, make_coeffs
