@@ -30,6 +30,7 @@ __all__ = [
     "apply_gauge_trans_u1", "apply_ape_smear_u1", "get_plaquette_u1",
     "get_topo_u1", "get_noncompact_action_u1", "create_instanton_u1",
     "create_noncompact_instanton_u1", "heatbath_noncompact_update",
+    "lorentz_gauge_fix_u1",
     "phases_to_links",
 ]
 
@@ -178,6 +179,62 @@ def apply_ape_smear_u1(gauge, lat: Lattice2D, alpha: float, n_iter: int):
         # Re-unitarize (arg then polar, reference :371-372).
         u = jnp.exp(1j * jnp.angle(u))
     return u
+
+
+# ---------------------------------------------------------------------------
+# Lorenz (Landau) gauge fixing. The reference DECLARES this
+# (u1_utils.h:511-542, "Go to Lorentz gauge") but ships an empty
+# iteration body; implemented here exactly via FFT. Host-side.
+# ---------------------------------------------------------------------------
+
+def _backward_divergence(theta_grids):
+    """sum_mu [theta_mu(x) - theta_mu(x - mu)] on (2, Y, X) grids."""
+    tx, ty = theta_grids
+    return (tx - np.roll(tx, 1, axis=1)) + (ty - np.roll(ty, 1, axis=0))
+
+
+def lorentz_gauge_fix_u1(gauge, lat: Lattice2D, tol: float = 1e-10,
+                         max_iter: int = 100):
+    """Fix ``gauge`` to Lorenz (Landau) gauge: sum_mu [theta_mu(x) -
+    theta_mu(x - mu)] = 0 at every site. Returns (fixed_gauge,
+    final_max_abs_divergence).
+
+    The Landau condition is LINEAR in the gauge potential: the transform
+    g = exp(i lambda) shifts theta'_mu = theta_mu + lambda(x+mu) -
+    lambda(x), so div theta' = div theta + Lap lambda and the exact fix
+    is lambda = +Lap^{-1} div theta (the transform convention here is
+    u'_mu = g(x) u_mu conj(g(x+mu)), i.e. theta' = theta - grad lambda)
+    - a closed-form FFT solve (lattice
+    Laplacian eigenvalues -4 sum_mu sin^2(pi k_mu / L_mu), zero mode
+    projected; the total divergence telescopes to zero so the system is
+    consistent). Compact links re-wrap the principal-branch phases
+    after a large transform, so the solve ITERATES to max|div| < tol
+    (typically 2-3 passes at beta ~ 6). The reference's ``delta``
+    relaxation parameter is unnecessary - the FFT solve is exact per
+    pass. (Reference u1_utils.h:511-542, stub.)
+    """
+    glat = _gauge_lat(lat)
+    g = np.asarray(gauge)
+    yl, xl = glat.y_len, glat.x_len
+    ky = np.arange(yl)
+    kx = np.arange(xl)
+    lap = -4.0 * (np.sin(np.pi * ky / yl)[:, None] ** 2
+                  + np.sin(np.pi * kx / xl)[None, :] ** 2)
+    lap[0, 0] = 1.0  # zero mode: projected out below
+    resid = np.inf
+    for _ in range(max_iter):
+        theta = np.stack([eo_unpack(np.angle(g[mu]), glat)
+                          for mu in range(2)])
+        div = _backward_divergence(theta)
+        resid = float(np.max(np.abs(div)))
+        if resid < tol:
+            break
+        lam_hat = np.fft.fft2(div) / lap
+        lam_hat[0, 0] = 0.0
+        lam = np.real(np.fft.ifft2(lam_hat))
+        trans = eo_pack(np.exp(1j * lam), glat)
+        g = np.asarray(apply_gauge_trans_u1(g, trans))
+    return g, resid
 
 
 # ---------------------------------------------------------------------------

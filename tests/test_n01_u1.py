@@ -111,3 +111,32 @@ def test_heatbath_plaquette_thermalizes():
     # exp(-1/(2 beta)) (gaussian); compact would be I1/I0.
     expect = np.exp(-1.0 / (2.0 * beta))
     assert abs(mean - expect) < 0.02
+
+
+def test_lorentz_gauge_fix():
+    """Lorenz/Landau gauge fixing (the reference declares it,
+    u1_utils.h:511-542, but ships an empty loop body - implemented here
+    via the exact FFT Laplacian solve). Oracles: the fixed field
+    satisfies max|div theta| < tol, and every gauge-invariant
+    observable (plaquette, topo charge) is unchanged."""
+    lat = Lattice2D(32, 32, 1)
+    rng = QMGRandom(1337)
+    g = np.asarray(u1.gauss_gauge_u1(lat, rng, beta=6.0))
+    plaq0 = complex(u1.get_plaquette_u1(g, lat))
+    topo0 = float(np.real(np.asarray(u1.get_topo_u1(g, lat))))
+
+    fixed, resid = u1.lorentz_gauge_fix_u1(g, lat, tol=1e-9)
+    assert resid < 1e-9
+    # Direct check of the Landau condition on the returned field.
+    from qmg_tpu.lattice import eo_unpack
+    theta = np.stack([eo_unpack(np.angle(fixed[mu]), lat.with_nc(1))
+                      for mu in range(2)])
+    div = ((theta[0] - np.roll(theta[0], 1, axis=1))
+           + (theta[1] - np.roll(theta[1], 1, axis=0)))
+    assert float(np.max(np.abs(div))) < 1e-9
+    # Gauge-invariant observables unchanged.
+    plaq1 = complex(u1.get_plaquette_u1(fixed, lat))
+    topo1 = float(np.real(np.asarray(u1.get_topo_u1(fixed, lat))))
+    np.testing.assert_allclose(plaq1.real, plaq0.real, atol=1e-10)
+    np.testing.assert_allclose(plaq1.imag, plaq0.imag, atol=1e-10)
+    np.testing.assert_allclose(topo1, topo0, atol=1e-8)
