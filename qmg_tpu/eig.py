@@ -136,6 +136,56 @@ def _pair(a, rdt):
     return np.stack([a.real, a.imag], axis=-1).astype(rdt)
 
 
+def _krylov_schur(op, shape, nev, which, ncv, max_restarts, tol, seed,
+                  dtype):
+    """Thick-restart (Krylov-Schur) Arnoldi driver shared by
+    arnoldi_eigensystem and shift_invert_eigensystem: device-resident
+    basis (make_arnoldi_sweep), one Hessenberg sync per restart, host
+    LAPACK on the tiny matrix. Returns (ritz_values (nev,),
+    ritz_vectors (nev, *shape) complex)."""
+    rdt = np.float32 if np.dtype(dtype) == np.complex64 else np.float64
+    sweep, rotate, ritz = make_arnoldi_sweep(op, shape, ncv, dtype)
+
+    rng = np.random.default_rng(seed)
+    v0 = rng.normal(size=shape) + 1j * rng.normal(size=shape)
+    v0 = v0 / np.sqrt(np.sum(np.abs(v0) ** 2))
+    V_p = jnp.zeros((ncv + 1,) + tuple(shape) + (2,), rdt
+                    ).at[0].set(jnp.asarray(_pair(v0, rdt)))
+    H_p = jnp.zeros((ncv + 1, ncv, 2), rdt)
+
+    def host_H(H_p):
+        Hh = np.asarray(jax.device_get(H_p))
+        return (Hh[..., 0] + 1j * Hh[..., 1]).astype(np.complex128)
+
+    V_p, H_p = sweep(V_p, H_p, jnp.int32(0))
+    for _ in range(max_restarts):
+        H = host_H(H_p)
+        Hm = H[:ncv, :ncv]
+        evals, S = np.linalg.eig(Hm)
+        sel = _select(evals, which, nev)
+        resid = np.abs(H[ncv, ncv - 1]) * np.abs(S[ncv - 1, sel])
+        if np.all(resid < tol * np.maximum(np.abs(evals[sel]), 1e-30)):
+            break
+        # Thick (Krylov-Schur) restart: keep the nev wanted Ritz vectors.
+        # From A V = V H + f e_k^T with f = V[ncv] * H[ncv, ncv-1]:
+        # A (V Q) = (V Q)(Q^H H Q) + f (e_k^T Q).
+        Q = np.linalg.qr(S[:, sel])[0]
+        newH = np.zeros_like(H)
+        newH[:nev, :nev] = Q.conj().T @ Hm @ Q
+        newH[nev, :nev] = H[ncv, ncv - 1] * Q[ncv - 1, :]
+        V_p = rotate(V_p, jnp.asarray(_pair(Q.T, rdt)))
+        H_p = jnp.asarray(_pair(newH, rdt))
+        V_p, H_p = sweep(V_p, H_p, jnp.int32(nev))
+
+    H = host_H(H_p)
+    evals, S = np.linalg.eig(H[:ncv, :ncv])
+    sel = _select(evals, which, nev)
+    vecs_p = np.asarray(jax.device_get(
+        ritz(V_p, jnp.asarray(_pair(S[:, sel].T, rdt)))))
+    vecs = jnp.asarray(vecs_p[..., 0] + 1j * vecs_p[..., 1], dtype)
+    return evals[sel], vecs
+
+
 def shift_invert_eigensystem(solve, shape, nev: int, sigma=0.0,
                              ncv: int = None, max_restarts: int = 200,
                              tol: float = 1e-8, seed: int = 7,
@@ -160,47 +210,14 @@ def shift_invert_eigensystem(solve, shape, nev: int, sigma=0.0,
     """
     n = int(np.prod(shape))
     ncv = ncv or min(max(3 * nev, 20), n)
-    rdt = np.float32 if np.dtype(dtype) == np.complex64 else np.float64
-    sweep, rotate, ritz = make_arnoldi_sweep(solve, shape, ncv, dtype)
-
-    rng = np.random.default_rng(seed)
-    v0 = rng.normal(size=shape) + 1j * rng.normal(size=shape)
-    v0 = v0 / np.sqrt(np.sum(np.abs(v0) ** 2))
-    V_p = jnp.zeros((ncv + 1,) + tuple(shape) + (2,), rdt
-                    ).at[0].set(jnp.asarray(_pair(v0, rdt)))
-    H_p = jnp.zeros((ncv + 1, ncv, 2), rdt)
-
-    V_p, H_p = sweep(V_p, H_p, jnp.int32(0))
-    for _ in range(max_restarts):
-        Hh = np.asarray(jax.device_get(H_p))
-        H = (Hh[..., 0] + 1j * Hh[..., 1]).astype(np.complex128)
-        Hm = H[:ncv, :ncv]
-        evals, S = np.linalg.eig(Hm)
-        sel = _select(evals, LARGEST_MAGNITUDE, nev)
-        resid = np.abs(H[ncv, ncv - 1]) * np.abs(S[ncv - 1, sel])
-        if np.all(resid < tol * np.maximum(np.abs(evals[sel]), 1e-30)):
-            break
-        Q = np.linalg.qr(S[:, sel])[0]
-        newH = np.zeros_like(H)
-        newH[:nev, :nev] = Q.conj().T @ Hm @ Q
-        newH[nev, :nev] = H[ncv, ncv - 1] * Q[ncv - 1, :]
-        V_p = rotate(V_p, jnp.asarray(_pair(Q.T, rdt)))
-        H_p = jnp.asarray(_pair(newH, rdt))
-        V_p, H_p = sweep(V_p, H_p, jnp.int32(nev))
-
-    Hh = np.asarray(jax.device_get(H_p))
-    H = (Hh[..., 0] + 1j * Hh[..., 1]).astype(np.complex128)
-    evals, S = np.linalg.eig(H[:ncv, :ncv])
-    sel = _select(evals, LARGEST_MAGNITUDE, nev)
-    vecs_p = np.asarray(jax.device_get(
-        ritz(V_p, jnp.asarray(_pair(S[:, sel].T, rdt)))))
-    vecs = jnp.asarray(vecs_p[..., 0] + 1j * vecs_p[..., 1], dtype)
-    lam = complex(sigma) + 1.0 / evals[sel]
+    thetas, vecs = _krylov_schur(solve, shape, nev, LARGEST_MAGNITUDE,
+                                 ncv, max_restarts, tol, seed, dtype)
+    lam = complex(sigma) + 1.0 / thetas
     if matvec is not None:
         # Rayleigh-quotient refinement on the original operator.
         lam = np.array([
             complex(jnp.sum(jnp.conj(vecs[i]) * matvec(vecs[i])))
-            for i in range(len(sel))])
+            for i in range(len(lam))])
     order = np.argsort(np.abs(lam - complex(sigma)))
     return lam[order], vecs[jnp.asarray(order)]
 
@@ -229,42 +246,5 @@ def arnoldi_eigensystem(matvec, shape, nev: int, which=SMALLEST_MAGNITUDE,
         return evals[sel], evecs[sel]
 
     ncv = ncv or min(max(3 * nev, 20), n)
-    rdt = np.float32 if np.dtype(dtype) == np.complex64 else np.float64
-    sweep, rotate, ritz = make_arnoldi_sweep(matvec, shape, ncv, dtype)
-
-    rng = np.random.default_rng(seed)
-    v0 = rng.normal(size=shape) + 1j * rng.normal(size=shape)
-    v0 = v0 / np.sqrt(np.sum(np.abs(v0) ** 2))
-    V_p = jnp.zeros((ncv + 1,) + tuple(shape) + (2,), rdt
-                    ).at[0].set(jnp.asarray(_pair(v0, rdt)))
-    H_p = jnp.zeros((ncv + 1, ncv, 2), rdt)
-
-    V_p, H_p = sweep(V_p, H_p, jnp.int32(0))
-    for _ in range(max_restarts):
-        Hh = np.asarray(jax.device_get(H_p))
-        H = (Hh[..., 0] + 1j * Hh[..., 1]).astype(np.complex128)
-        Hm = H[:ncv, :ncv]
-        evals, S = np.linalg.eig(Hm)
-        sel = _select(evals, which, nev)
-        resid = np.abs(H[ncv, ncv - 1]) * np.abs(S[ncv - 1, sel])
-        if np.all(resid < tol * np.maximum(np.abs(evals[sel]), 1e-30)):
-            break
-        # Thick (Krylov-Schur) restart: keep the nev wanted Ritz vectors.
-        # From A V = V H + f e_k^T with f = V[ncv] * H[ncv, ncv-1]:
-        # A (V Q) = (V Q)(Q^H H Q) + f (e_k^T Q).
-        Q = np.linalg.qr(S[:, sel])[0]
-        newH = np.zeros_like(H)
-        newH[:nev, :nev] = Q.conj().T @ Hm @ Q
-        newH[nev, :nev] = H[ncv, ncv - 1] * Q[ncv - 1, :]
-        V_p = rotate(V_p, jnp.asarray(_pair(Q.T, rdt)))
-        H_p = jnp.asarray(_pair(newH, rdt))
-        V_p, H_p = sweep(V_p, H_p, jnp.int32(nev))
-
-    Hh = np.asarray(jax.device_get(H_p))
-    H = (Hh[..., 0] + 1j * Hh[..., 1]).astype(np.complex128)
-    evals, S = np.linalg.eig(H[:ncv, :ncv])
-    sel = _select(evals, which, nev)
-    vecs_p = np.asarray(jax.device_get(
-        ritz(V_p, jnp.asarray(_pair(S[:, sel].T, rdt)))))
-    vecs = jnp.asarray(vecs_p[..., 0] + 1j * vecs_p[..., 1], dtype)
-    return evals[sel], vecs
+    return _krylov_schur(matvec, shape, nev, which, ncv, max_restarts,
+                         tol, seed, dtype)

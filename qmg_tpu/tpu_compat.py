@@ -421,8 +421,7 @@ def make_fixed_batched_planes_solver(mg, outer_iters: int, **solver_kw):
     Requires a direct coarsest (the iterative coarsest still carries a
     tolerance loop).
     """
-    if not (mg.coarsest_solve.direct and mg.coarsest_dinv is not None) \
-            and not solver_kw.get("_allow_iterative_coarsest", False):
+    if not (mg.coarsest_solve.direct and mg.coarsest_dinv is not None):
         raise ValueError("fixed-schedule batched solves need a direct "
                          "coarsest (prepare_direct_coarsest / "
                          "KCycleConfig(coarsest_direct=True)): the "
@@ -434,7 +433,6 @@ def make_fixed_batched_planes_solver(mg, outer_iters: int, **solver_kw):
                 f"level-{lvl} intermediate solve is not fixed_trips - "
                 "build the hierarchy with KCycleConfig("
                 "inner_fixed_iters=k)")
-    solver_kw.pop("_allow_iterative_coarsest", None)
     solve_planes, state = make_planes_solver(
         mg, fixed_outer_iters=int(outer_iters), **solver_kw)
     return jax.vmap(solve_planes, in_axes=(None, 0)), state
