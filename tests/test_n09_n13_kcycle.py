@@ -164,3 +164,97 @@ def test_iter_pin_256sq(cfg_dir):
     plaq = float(np.real(np.asarray(u1.get_plaquette_u1(g, lat0))))
     assert abs(plaq - PLAQ_256) < 1e-6, plaq
     _pinned_kcycle(cfg_dir, 256, -0.06, 3)
+
+
+def test_kcycle_outer_trajectory_dense_oracle():
+    """External trajectory anchor for the iteration pins (VERDICT r3
+    item 6): the 18/19/20 outer-FGCR pins elsewhere in this file are
+    internal regression anchors; here the SOLVER PLUMBING itself is
+    verified against dense linear algebra, independent of any pinned
+    count. At 16^2 on an interacting gauss gauge, the fine Wilson
+    operator is densified (eig.densify — probe columns, the contract of
+    /root/reference/tests/n13_wilson_kcycle/wilson_kcycle.cpp:104-106,
+    459-462) and, for EVERY outer iteration k of the MG-preconditioned
+    FGCR:
+
+      * the solver's reported res_sq must equal the TRUE residual
+        ||b - A_dense x_k||^2 computed with numpy dense algebra
+        (residual honesty, not self-consistency);
+      * the residual norms must be non-increasing (the GCR minimization
+        property);
+
+    and the converged solution must match the dense ground truth
+    x* = solve(A_dense, b)."""
+    from qmg_tpu.eig import densify
+
+    lat0 = Lattice2D(16, 16, 2)
+    rng = QMGRandom(1337)
+    g = jnp.asarray(u1.gauss_gauge_u1(lat0, rng, beta=6.0))
+    op = Wilson2D(lat0, -0.05, g)
+    cfg = KCycleConfig(n_refine=1, coarse_dof=4, x_block=4, y_block=4)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+
+    n = lat0.size_cv
+    a_dense = densify(op.get_apply_function(), lat0.cv_shape(),
+                      dtype=jnp.complex128)
+    # The densified matrix must BE the operator: check on a random field.
+    v = np.asarray(rng.gaussian_cv(lat0))
+    av_stencil = np.asarray(op.apply_M(jnp.asarray(v))).reshape(n)
+    av_dense = a_dense @ v.reshape(n)
+    assert np.max(np.abs(av_stencil - av_dense)) < 1e-12 * np.max(
+        np.abs(av_dense))
+
+    b = np.asarray(rng.gaussian_cv(lat0))
+    x_star = np.linalg.solve(a_dense, b.reshape(n))
+    b_norm = float(np.linalg.norm(b.reshape(n)))
+
+    # Converge once to learn the iteration count, then replay every
+    # prefix (FGCR trajectories are prefix-stable: each iteration
+    # depends only on the current residual and the stored directions).
+    # max_iter only feeds the while_loop predicate (k < max_iter), so it
+    # can be a TRACED argument: one compile serves every prefix replay.
+    import jax
+    from qmg_tpu import solvers
+    from qmg_tpu.stateful import _zero_carry
+
+    matvec = mg.get_stencil(0).get_apply_function()
+    precond = mg.make_preconditioner(0)
+
+    @jax.jit
+    def solve_k(b_dev, k):
+        res, _ = solvers.gcr_var_precond_restart(
+            matvec, b_dev, precond, max_iter=k, tol=1e-10,
+            restart_freq=32, precond_carry=_zero_carry(2))
+        return res
+
+    full = solve_k(jnp.asarray(b), jnp.int32(100))
+    assert bool(full.converged)
+    k_conv = int(full.iters)
+    assert 2 < k_conv < 40
+
+    prev_true = np.inf
+    for k in range(1, k_conv + 1):
+        res = solve_k(jnp.asarray(b), jnp.int32(k))
+        x_k = np.asarray(res.x).reshape(n)
+        true_res = float(np.linalg.norm(b.reshape(n) - a_dense @ x_k))
+        reported = float(np.sqrt(float(np.real(np.asarray(res.res_sq)))))
+        # fp64 recursion drift over <40 iterations is far below 1e-10
+        # relative; any plumbing error (wrong residual update, wrong
+        # projection) shows up orders of magnitude above this bound.
+        assert abs(reported - true_res) <= 1e-10 * b_norm + 1e-8 * true_res, (
+            f"iter {k}: reported residual {reported:.6e} != dense true "
+            f"residual {true_res:.6e}")
+        assert true_res <= prev_true * (1 + 1e-12), (
+            f"iter {k}: GCR residual increased {prev_true:.6e} -> "
+            f"{true_res:.6e}")
+        prev_true = true_res
+
+    # Converged solution against the dense ground truth (residual
+    # 1e-10 through a mildly conditioned operator).
+    x_full = np.asarray(full.x).reshape(n)
+    err = float(np.linalg.norm(x_full - x_star)
+                / np.linalg.norm(x_star))
+    assert err < 1e-6, f"solution error vs dense ground truth: {err:.3e}"
+    print(f"[QMG-TEST] dense-oracle trajectory: {k_conv} outer iters, "
+          f"every reported residual == dense true residual, final "
+          f"solution error {err:.3e}")
