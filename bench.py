@@ -80,6 +80,19 @@ def main(argv=None):
                         "auto = on at >= 2048^2, where the standard "
                         "complex stages hit the XLA layout pathology "
                         "(PERF.md 'Device-resident setup')")
+    p.add_argument("--outer", default="original",
+                   choices=["original", "schur"],
+                   help="kcycle mode: outer operator formulation. "
+                        "'schur' = the n19 configuration (rbjacobi "
+                        "null-vector generation, rbjacobi coarsening, "
+                        "RIGHT_SCHUR solves at every level; reference "
+                        "tests/n19_wilson_kcycle_precond); halves the "
+                        "active coarse dimensions")
+    p.add_argument("--deflate", type=int, default=0,
+                   help="kcycle --setup device: deflate this many "
+                        "low eigenpairs of the coarsest normal operator "
+                        "(setup_planes deflate_low; reference "
+                        "stateful_multigrid.h:613-696)")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
     args = p.parse_args(argv)
@@ -403,11 +416,33 @@ def bench_kcycle(args):
         # iters, inner tol 0.2 stops in <8), so right-size the stores.
         restart = 16 if L >= 2048 else 32
         inner_restart = 8 if L >= 2048 else 32
+        outer_type = None
+        schur_kw = {}
+        if args.outer == "schur":
+            # n19 configuration (reference tests/n19_wilson_kcycle_
+            # precond/wilson_kcycle_precond.cpp:107,171,290): rbjacobi
+            # null-vector generation + coarsening, RIGHT_SCHUR solves
+            # at every level. The Schur system lives on the even
+            # half-space, halving every coarse level's active
+            # dimension - the measurement of interest at production
+            # sizes, where the K-cycle is coarse-level latency-bound.
+            from qmg_tpu.stencil import StencilType
+            from qmg_tpu.operators.coarse import CoarseOperator2D
+            outer_type = StencilType.RIGHT_SCHUR
+            schur_kw = dict(
+                fine_stencil_app=StencilType.RIGHT_SCHUR,
+                coarsest_stencil_app=StencilType.RIGHT_SCHUR,
+                nullvec_stype=StencilType.RIGHT_JACOBI,
+                nullvec_solver="gcr_restart",
+                precond_coarsen_rbjacobi=True,
+                build_extra=CoarseOperator2D.BUILD_RBJACOBI)
         cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8,
                            nullvec_tol=5e-4, nullvec_max_iter=200,
                            inner_restart_freq=inner_restart,
                            coarsest_restart_freq=restart,
-                           coarsest_direct=not args.no_direct)
+                           coarsest_direct=(not args.no_direct
+                                            and args.outer != "schur"),
+                           **schur_kw)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng,
                                     structure_only=args.setup == "device")
         # Fine-Dslash routing (measured, PERF.md round 2): below 512^2
@@ -458,8 +493,9 @@ def bench_kcycle(args):
         else:
             solve_planes, state = make_planes_solver(
                 mg, tol=tol, max_iter=200, restart_freq=restart,
-                use_pallas_fine=use_pallas, pallas_kind=kind,
-                pallas_tile=args.tile,
+                use_pallas_fine=use_pallas and outer_type is None,
+                pallas_kind=kind, pallas_tile=args.tile,
+                outer_type=outer_type,
                 coarse_apply=("jnp" if args.coarse_apply == "auto"
                               else args.coarse_apply))
             b_p = host_to_planes(rng.gaussian_cv(lat))
@@ -475,7 +511,8 @@ def bench_kcycle(args):
         cf = (L >= 2048 if args.channels_first == "auto"
               else args.channels_first == "on")
         setup_fn = make_kcycle_setup_planes(lat, cfg, -0.06,
-                                            channels_first=cf)
+                                            channels_first=cf,
+                                            deflate_low=args.deflate)
         seeds = gauss_seed_planes(lat, cfg, rng)
         gauge_p = host_to_planes(np.asarray(gauge))
         t0 = time.perf_counter()

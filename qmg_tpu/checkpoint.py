@@ -22,7 +22,11 @@ from .transfer import TransferMG, DoublingType
 from .stateful import StatefulMultigridMG, LevelSolveMG, CoarsestSolveMG
 from .operators.coarse import CoarseOperator2D
 
-FORMAT_VERSION = 2
+# Version 3: blocked null vectors moved from the B-minor layout
+# (nvec, 2c, Yc, Xhc, B) to the b-MID layout (nvec, 2c, B, Yc, Xhc)
+# (transfer.py module docstring - TPU lane padding). Older checkpoints
+# are converted on load.
+FORMAT_VERSION = 3
 
 
 def save_hierarchy(mg: StatefulMultigridMG, path: str):
@@ -84,9 +88,12 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
     built coefficients directly (no re-probing)."""
     data = np.load(path)
     meta = json.loads(bytes(data["__meta__"]).decode())
-    if meta["version"] not in (1, FORMAT_VERSION):
+    if meta["version"] not in (1, 2, FORMAT_VERSION):
         raise ValueError(f"checkpoint version {meta['version']} not in "
-                         f"(1, {FORMAT_VERSION})")
+                         f"(1, 2, {FORMAT_VERSION})")
+    # Versions < 3 stored blocked null vectors B-minor; convert to the
+    # b-MID layout (see FORMAT_VERSION note).
+    _legacy_nvb = meta["version"] < 3
     n = meta["n_levels"]
     lat0 = Lattice2D(*meta["lattices"][0])
     if lat0 != fine_stencil.lat:
@@ -101,7 +108,11 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
     for lvl in range(1, n):
         lat = Lattice2D(*meta["lattices"][lvl])
         lat_prev = Lattice2D(*meta["lattices"][lvl - 1])
-        nvb = jnp.asarray(data[f"nvb{lvl - 1}"])
+        def _blocked(arr):
+            a = jnp.asarray(arr)
+            return jnp.moveaxis(a, -1, 2) if _legacy_nvb else a
+
+        nvb = _blocked(data[f"nvb{lvl - 1}"])
         doubling = DoublingType(meta["doubling"][lvl - 1])
         # Rebuild the transfer around the saved (already orthonormalized)
         # blocked null vectors - skip re-orthonormalization.
@@ -112,10 +123,12 @@ def load_hierarchy(path: str, fine_stencil: Stencil2D
         t._init_geometry()
         t._nvb = nvb
 
-        def _opt(name):
+        def _opt(name, blocked=False):
             k = f"{name}{lvl - 1}"
-            return jnp.asarray(data[k]) if k in data else None
-        t._restrict_nvb = _opt("rnvb")
+            if k not in data:
+                return None
+            return _blocked(data[k]) if blocked else jnp.asarray(data[k])
+        t._restrict_nvb = _opt("rnvb", blocked=True)
         t.block_cholesky = _opt("chol")
         t.block_L = _opt("blockL")
         t.block_U = _opt("blockU")

@@ -121,9 +121,9 @@ def _setup_shardings(lats, mesh, crossover):
             "gauss": ns(P(None, None, ay, ax, None, None)),
             "clover": ns(P(None, ay, ax, None, None, None)),
             "hopping": ns(P(None, None, ay, ax, None, None, None)),
-            # blocked null vectors (nvec, 2c, Yc, Xhc, B, 2) live on the
+            # blocked null vectors (nvec, 2c, B, Yc, Xhc, 2) live on the
             # COARSE lattice of the transfer INTO level i:
-            "nvb": ns(P(None, None, ay, ax, None, None)),
+            "nvb": ns(P(None, None, None, ay, ax, None)),
             "gauge": ns(P(None, None, ay, ax, None)),
             "scalar": ns(P()),
         })
@@ -385,7 +385,7 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                 jnp.asarray(mass, cdt), jnp.zeros((), cdt),
                 jnp.zeros((), cdt)]))
             return (c0, h0,
-                    jnp.transpose(nvb_cf, (1, 2, 4, 5, 3, 0)),
+                    jnp.transpose(nvb_cf, (1, 2, 3, 4, 5, 0)),
                     jnp.transpose(clover_c, (1, 4, 5, 2, 3, 0)),
                     jnp.transpose(hopping_c, (1, 2, 5, 6, 3, 4, 0)),
                     shifts1)
@@ -417,7 +417,7 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                 shifts_out = jnp.stack(
                     [shifts_p[0], jnp.zeros_like(shifts_p[0]),
                      jnp.zeros_like(shifts_p[0])])
-                return (jnp.transpose(nvb_cf, (1, 2, 4, 5, 3, 0)),
+                return (jnp.transpose(nvb_cf, (1, 2, 3, 4, 5, 0)),
                         jnp.transpose(clover_c, (1, 4, 5, 2, 3, 0)),
                         jnp.transpose(hopping_c, (1, 2, 5, 6, 3, 4, 0)),
                         shifts_out)

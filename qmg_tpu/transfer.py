@@ -6,13 +6,21 @@ The reference builds a one-to-many ``coarse_map`` (sorted fine cv indices
 per coarse site, transfer/transfer.h:410-448) and loops over it. Here the
 map becomes a static *permutation*: a host-precomputed gather that
 reorders a fine field (2, Y, Xh, nc) into blocked form
-(2c, Yc, Xhc, B) with B = By*Bx*nc fine dof per coarse site. Then
+(2c, B, Yc, Xhc) with B = By*Bx*nc fine dof per coarse site. Then
 
     restrict_f2c: coarse[s, v] = sum_b conj(NV[v, s, b]) fine[s, b]
     prolong_c2f:  fine[s, b]  = sum_v NV[v, s, b] coarse[s, v]
 
-are einsums against the blocked null-vector tensor NV - batched (B x nvec)
-matmuls that map straight onto the MXU.
+are einsums against the blocked null-vector tensor NV, contracted over
+the b axis with the coarse lattice (Yc, Xhc) axes kept MINOR.
+
+Layout note (the r3 -> r4 change): the blocked b axis sits in the
+MIDDLE, not minor. On TPU the minor-most axis maps to the 128-wide
+lane dimension; a B-minor layout (B = 32 at 4x4 Wilson blocking)
+lane-pads every nvb buffer and blocked temporary 4x - measured ~4 GiB
+of padded copies in the 2048^2 solve (PERF.md "Two HBM fit fixes").
+With (Yc, Xhc) minor the default row-major layout tiles (8, 128) with
+zero padding, matching the channels-first setup layouts (cf.py).
 
 Block (bi-)orthonormalization follows the reference's Osborn-style
 restrict/prolong Gram-Schmidt (transfer/transfer.h:514-769) vectorized
@@ -41,7 +49,7 @@ class DoublingType(enum.IntEnum):
 def _block_permutation(fine_lat: Lattice2D, coarse_lat: Lattice2D):
     """Flat gather indices mapping fine eo layout -> blocked layout.
 
-    Returns (perm, inv_perm, B): perm has shape (2c, Yc, Xhc, B) with
+    Returns (perm, inv_perm, B): perm has shape (2c, B, Yc, Xhc) with
     values indexing the flattened fine cv field; the b axis is ordered by
     ascending fine flat index within each block - the same ordering as the
     reference's merge-sorted coarse_map (transfer/transfer.h:440).
@@ -78,12 +86,14 @@ def _block_permutation(fine_lat: Lattice2D, coarse_lat: Lattice2D):
     order = np.lexsort((flat.ravel(), cflat.ravel()))
     perm[...] = flat.ravel()[order].reshape(coarse_lat.volume, B)
 
-    inv_perm = np.empty(fine_lat.size_cv, dtype=np.int64)
-    inv_perm[perm.ravel()] = np.arange(fine_lat.size_cv)
     cshape = (2, coarse_lat.y_len, coarse_lat.xh, B)
     if coarse_lat.volume == 1:
         cshape = (1, 1, 1, B)
-    return perm.reshape(cshape), inv_perm, B
+    # b-MID layout: (2c, B, Yc, Xhc) keeps the lattice axes minor.
+    perm = np.moveaxis(perm.reshape(cshape), -1, 1)
+    inv_perm = np.empty(fine_lat.size_cv, dtype=np.int64)
+    inv_perm[perm.ravel()] = np.arange(fine_lat.size_cv)
+    return perm, inv_perm, B
 
 
 class TransferMG:
@@ -109,7 +119,8 @@ class TransferMG:
 
         self._init_geometry()
 
-        # Blocked null vectors: (nvec, 2c, Yc, Xhc, B).
+        # Blocked null vectors: (nvec, 2c, B, Yc, Xhc) - b MID, lattice
+        # axes minor (TPU lane padding; module docstring).
         nvb = self._to_blocked_batch(nv)
         self.block_cholesky = None  # (2c,Yc,Xhc,nvec,nvec), [i,j]=row i col j
         self.block_L = None
@@ -185,12 +196,13 @@ class TransferMG:
                 fine_lat, coarse_lat)
 
     def _to_blocked(self, fine):
-        """(2, Y, Xh, nc) -> (2c, Yc, Xhc, B).
+        """(2, Y, Xh, nc) -> (2c, B, Yc, Xhc).
 
         The b axis orders fine dof by ascending fine flat cv index within
         each block (parity-major, then y, then xh, then color) - the same
         ordering as the reference's merge-sorted coarse_map
-        (transfer/transfer.h:440).
+        (transfer/transfer.h:440). The b axis sits MID, not minor: see
+        the module docstring's TPU lane-padding note.
         """
         if not self._use_reshape:
             return fine.reshape(-1)[self._perm]
@@ -205,17 +217,17 @@ class TransferMG:
         z = jnp.transpose(z, (1, 3, 0, 2, 4, 5))     # (Yc, Xc, 2, By, Bxh, nc)
         z = z.reshape(yc, xc, 2 * by * bxh * nc)     # parity-major b axis
         if self._coarse_is_point:
-            return z.reshape(1, 1, 1, -1)
+            return z.reshape(1, -1, 1, 1)
         # eo-pack the coarse (Yc, Xc) grid: coarse parity = (cy + cx) % 2,
         # so within each row the even/odd coarse sites alternate columns.
         zp = z.reshape(yc, cl.xh, 2, -1)
         row_odd = (jnp.arange(yc) % 2).astype(bool)[:, None, None]
         even = jnp.where(row_odd, zp[:, :, 1], zp[:, :, 0])
         odd = jnp.where(row_odd, zp[:, :, 0], zp[:, :, 1])
-        return jnp.stack([even, odd])
+        return jnp.moveaxis(jnp.stack([even, odd]), -1, 1)
 
     def _from_blocked(self, blocked):
-        """(2c, Yc, Xhc, B) -> (2, Y, Xh, nc) (inverse of _to_blocked)."""
+        """(2c, B, Yc, Xhc) -> (2, Y, Xh, nc) (inverse of _to_blocked)."""
         if not self._use_reshape:
             return blocked.reshape(-1)[self._inv_perm].reshape(
                 self.fine_lat.cv_shape())
@@ -226,9 +238,10 @@ class TransferMG:
         if self._coarse_is_point:
             z = blocked.reshape(1, 1, -1)
         else:
+            zb = jnp.moveaxis(blocked, 1, -1)        # (2c, Yc, Xhc, B)
             row_odd = (jnp.arange(yc) % 2).astype(bool)[:, None, None]
-            k0 = jnp.where(row_odd, blocked[1], blocked[0])
-            k1 = jnp.where(row_odd, blocked[0], blocked[1])
+            k0 = jnp.where(row_odd, zb[1], zb[0])
+            k1 = jnp.where(row_odd, zb[0], zb[1])
             z = jnp.stack([k0, k1], axis=2).reshape(yc, xc, -1)
         z = z.reshape(yc, xc, 2, by, bxh, nc)
         z = jnp.transpose(z, (2, 0, 3, 1, 4, 5))     # (2, Yc, By, Xc, Bxh, nc)
@@ -248,7 +261,7 @@ class TransferMG:
         Uses restrict vectors when R != P^dagger (reference :291-294)."""
         nvb = self._nvb if self._restrict_nvb is None else self._restrict_nvb
         fb = self._to_blocked(fine)
-        coarse = jnp.einsum("v...b,...b->...v", jnp.conj(nvb), fb)
+        coarse = jnp.einsum("vcbyx,cbyx->cyxv", jnp.conj(nvb), fb)
         if self._coarse_is_point:
             # blocked layout is (1,1,1,B); coarse field is (2,1,1,nvec)
             # with the single site at parity 0.
@@ -261,7 +274,7 @@ class TransferMG:
         """fine = NV . coarse per block (reference :455-480)."""
         if self._coarse_is_point:
             coarse = coarse[0:1]
-        fb = jnp.einsum("v...b,...v->...b", self._nvb, coarse)
+        fb = jnp.einsum("vcbyx,cyxv->cbyx", self._nvb, coarse)
         return self._from_blocked(fb)
 
     def is_symmetric(self) -> bool:
@@ -289,12 +302,21 @@ class TransferMG:
 
 # ---------------------------------------------------------------------------
 # Block (bi-)orthonormalization over the blocked layout. V has shape
-# (nvec, ..., B); all operations are per-coarse-site (the ... axes).
+# (nvec, 2c, B, Yc, Xhc); the contraction axis B is axis 1 of each
+# per-vector slice, the site axes are (2c, Yc, Xhc). Decompositions keep
+# the site-major shape (2c, Yc, Xhc, nvec, nvec) the coarse chirality
+# machinery consumes (operators/coarse.py pad_parity).
 # ---------------------------------------------------------------------------
 
 def _bdot(a, b):
-    """Per-block <a, b> = sum_b conj(a) b -> (...)."""
-    return jnp.sum(jnp.conj(a) * b, axis=-1)
+    """Per-block <a, b> = sum_b conj(a) b over the b axis (axis 1 of a
+    (2c, B, Yc, Xhc) slice) -> (2c, Yc, Xhc)."""
+    return jnp.sum(jnp.conj(a) * b, axis=1)
+
+
+def _bsmul(g, v):
+    """Per-site scalar (2c, Yc, Xhc) times blocked (2c, B, Yc, Xhc)."""
+    return g[:, None] * v
 
 
 def _block_orthonormalize(nvb):
@@ -305,17 +327,17 @@ def _block_orthonormalize(nvb):
     R factor the reference captures (transfer/transfer.h:554-594).
     """
     nvec = nvb.shape[0]
-    site_shape = nvb.shape[1:-1]
+    site_shape = (nvb.shape[1],) + nvb.shape[3:]
     chol = jnp.zeros(site_shape + (nvec, nvec), dtype=nvb.dtype)
     vs = [nvb[i] for i in range(nvec)]
     for i in range(nvec):
         for j in range(i):
             g = _bdot(vs[j], vs[i])
             chol = chol.at[..., j, i].set(g)
-            vs[i] = vs[i] - g[..., None] * vs[j]
+            vs[i] = vs[i] - _bsmul(g, vs[j])
         nrm = jnp.sqrt(jnp.real(_bdot(vs[i], vs[i])))
         chol = chol.at[..., i, i].set(nrm.astype(nvb.dtype))
-        vs[i] = vs[i] / nrm[..., None]
+        vs[i] = vs[i] / nrm[:, None]
     return jnp.stack(vs), chol
 
 
@@ -327,7 +349,7 @@ def _block_bi_orthonormalize(pvb, rvb):
     phase-preserving diagonal normalization of :694-755.
     """
     nvec = pvb.shape[0]
-    site_shape = pvb.shape[1:-1]
+    site_shape = (pvb.shape[1],) + pvb.shape[3:]
     L = jnp.zeros(site_shape + (nvec, nvec), dtype=pvb.dtype)
     U = jnp.zeros_like(L)
     ps = [pvb[i] for i in range(nvec)]
@@ -336,18 +358,18 @@ def _block_bi_orthonormalize(pvb, rvb):
         for j in range(i):
             u = _bdot(rs[j], ps[i])
             U = U.at[..., j, i].set(u)
-            ps[i] = ps[i] - u[..., None] * ps[j]
+            ps[i] = ps[i] - _bsmul(u, ps[j])
             lt = _bdot(ps[j], rs[i])
             # conj fix-up applied immediately (reference defers to :763).
             L = L.at[..., i, j].set(jnp.conj(lt))
-            rs[i] = rs[i] - lt[..., None] * rs[j]
+            rs[i] = rs[i] - _bsmul(lt, rs[j])
         d = _bdot(rs[i], ps[i])
         # Phase-preserving inverse-sqrt: f = |d|^{-1/2} e^{i arg d}.
         f = jnp.exp(1j * jnp.angle(d)) / jnp.sqrt(jnp.abs(d))
-        rs[i] = rs[i] * f[..., None]
+        rs[i] = _bsmul(f, rs[i])
         # L diagonal: conj(1/f) = |d|^{1/2} e^{i arg d}.
         L = L.at[..., i, i].set(jnp.conj(1.0 / f))
         f2 = 1.0 / jnp.sqrt(jnp.abs(d))
-        ps[i] = ps[i] * f2[..., None]
+        ps[i] = ps[i] * f2[:, None]
         U = U.at[..., i, i].set((1.0 / f2).astype(U.dtype))
     return jnp.stack(ps), jnp.stack(rs), L, U

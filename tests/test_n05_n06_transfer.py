@@ -51,7 +51,7 @@ def test_block_orthonormality():
     t = TransferMG(FINE, COARSE, nv, do_block_ortho=True)
     # Per-block Gram matrix of the orthonormalized vectors == identity.
     nvb = t._nvb
-    gram = jnp.einsum("i...b,j...b->...ij", jnp.conj(nvb), nvb)
+    gram = jnp.einsum("icbyx,jcbyx->cyxij", jnp.conj(nvb), nvb)
     eye = jnp.eye(COARSE.nc)
     assert float(jnp.max(jnp.abs(gram - eye))) < 1e-12
 
@@ -64,7 +64,7 @@ def test_asymmetric_bi_ortho():
                    restrict_null_vectors=rv)
     assert not t.is_symmetric()
     # Bi-orthonormality: <r_i, p_j>_block = delta_ij.
-    gram = jnp.einsum("i...b,j...b->...ij", jnp.conj(t._restrict_nvb),
+    gram = jnp.einsum("icbyx,jcbyx->cyxij", jnp.conj(t._restrict_nvb),
                       t._nvb)
     assert float(jnp.max(jnp.abs(gram - jnp.eye(COARSE.nc)))) < 1e-10
     # restrict(prolong(x)) = x still holds.
@@ -82,8 +82,8 @@ def test_cholesky_capture_matches_gram_schmidt():
     # Upper triangularity.
     tri = np.asarray(chol)
     assert np.max(np.abs(np.tril(tri, -1))) < 1e-14
-    orig_blocked = t._to_blocked_batch(nv)  # (nvec, ..., B)
-    recon = jnp.einsum("j...b,...ji->i...b", t._nvb, chol)
+    orig_blocked = t._to_blocked_batch(nv)  # (nvec, 2c, B, Yc, Xhc)
+    recon = jnp.einsum("jcbyx,cyxji->icbyx", t._nvb, chol)
     assert float(jnp.max(jnp.abs(recon - orig_blocked))) < 1e-10
 
 
@@ -99,9 +99,9 @@ def test_lu_capture_matches_bi_gram_schmidt():
     assert np.max(np.abs(np.triu(np.asarray(L), 1))) < 1e-14
     p_orig = t._to_blocked_batch(pv)
     r_orig = t._to_blocked_batch(rv)
-    p_recon = jnp.einsum("j...b,...ji->i...b", t._nvb, U)
+    p_recon = jnp.einsum("jcbyx,cyxji->icbyx", t._nvb, U)
     ldag = jnp.conj(jnp.swapaxes(L, -1, -2))
-    r_recon = jnp.einsum("j...b,...ji->i...b", t._restrict_nvb, ldag)
+    r_recon = jnp.einsum("jcbyx,cyxji->icbyx", t._restrict_nvb, ldag)
     assert float(jnp.max(jnp.abs(p_recon - p_orig))) < 1e-10
     assert float(jnp.max(jnp.abs(r_recon - r_orig))) < 1e-10
 

@@ -57,8 +57,8 @@ def test_traced_setup_state_galerkin_oracle():
     for lvl in range(2):
         lat_f, lat_c = lats[lvl], lats[lvl + 1]
         nvb = from_planes(jnp.asarray(state[f"nvb{lvl}"]))
-        # state nvb is the transfer's BLOCKED layout (nvec, 2c, Yc,
-        # Xhc, B): build a shape-only transfer and inject it, the same
+        # state nvb is the transfer's BLOCKED layout (nvec, 2c, B, Yc,
+        # Xhc): build a shape-only transfer and inject it, the same
         # way the planes solver patches hierarchies.
         dummy = jnp.zeros((cfg.coarse_dof,) + lat_f.cv_shape(),
                           jnp.complex64)
