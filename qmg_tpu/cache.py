@@ -8,20 +8,47 @@ every repeated driver/bench/dryrun invocation in the same workspace can
 reuse them. Call :func:`enable_persistent_cache` BEFORE the first jit
 compilation (import time is fine; backend init is not required).
 
-Cache location: ``$QMG_CACHE_DIR`` if set, else ``<repo>/.jax_cache``
-(gitignored). Disable entirely with ``QMG_CACHE_DIR=off``.
+Cache location: ``$QMG_CACHE_DIR`` if set, else
+``<repo>/.jax_cache/<host-cpu-fingerprint>`` (gitignored). Disable
+entirely with ``QMG_CACHE_DIR=off``.
+
+The per-host fingerprint subdirectory matters: XLA:CPU stores
+AOT-compiled machine code keyed by (HLO, options, backend version) but
+NOT by the compiling host's CPU features, so a cache written on one
+machine can hand a different machine code using ISA extensions it lacks
+(observed: ``cpu_aot_loader`` warning "could lead to execution errors
+such as SIGILL" when this workspace moved hosts). Scoping the directory
+by a hash of the host's CPU feature flags makes a foreign cache
+invisible instead of dangerous.
 """
 
+import hashlib
 import os
+import platform
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _host_fingerprint() -> str:
+    """Short stable hash of the CPU's ISA feature set."""
+    flags = ""
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    flags = " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:
+        pass
+    key = f"{platform.machine()}|{flags}"
+    return hashlib.sha256(key.encode()).hexdigest()[:12]
 
 
 def cache_dir() -> str | None:
     d = os.environ.get("QMG_CACHE_DIR")
     if d == "off":
         return None
-    return d or os.path.join(_REPO, ".jax_cache")
+    return d or os.path.join(_REPO, ".jax_cache", _host_fingerprint())
 
 
 def enable_persistent_cache() -> str | None:
