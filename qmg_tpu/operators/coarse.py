@@ -45,6 +45,14 @@ def build_coarse_coeffs(coarse_lat: Lattice2D, fine_coeffs: StencilCoeffs,
     ``stencil.rbjacobi.coeffs`` to coarsen the right-block-Jacobi operator
     (the reference's use_rbjacobi swap, operators/coarse.h:119-123).
     """
+    if not fine_coeffs.is_distance1():
+        # Same restriction as the reference builder ("exact for
+        # distance-1 fine stencils", operators/coarse.h:183-186): the
+        # parity-scatter below classifies probe responses into coarse
+        # clover vs hopping by fine parity, which is only exact when
+        # every fine coupling flips parity.
+        raise ValueError("Galerkin probe build requires a distance-1 "
+                         "fine stencil (twolink/corner pieces present)")
     nc = coarse_lat.nc
     cshape = coarse_lat.cv_shape()
     dtype = (fine_coeffs.clover.dtype if fine_coeffs.clover is not None

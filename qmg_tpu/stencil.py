@@ -33,7 +33,8 @@ import jax
 import jax.numpy as jnp
 
 from .lattice import Lattice2D, DIR_XP1, DIR_YP1, DIR_XM1, DIR_YM1
-from .cshift import cshift_pull, cshift_pull_half, ALL_DIRS
+from .cshift import (cshift_pull, cshift_pull_half, ALL_DIRS,
+                     TWOLINK_DIRS, CORNER_DIRS)
 from . import linalg
 import contextlib
 
@@ -57,9 +58,12 @@ def _compile_time_eval_on_host():
             stack.enter_context(jax.default_device(cpu))
         yield
 
-# Opposite direction map: +x<->-x, +y<->-y.
+# Opposite direction map: +x<->-x, +y<->-y. For the twolink and corner
+# coefficient SLOTS the opposite pairing is likewise 0<->2, 1<->3
+# (stencil_2d.h:28-39: {+2X,+2Y,-2X,-2Y}, {+X+Y,-X+Y,-X-Y,+X-Y}).
 OPPOSITE_DIR = {DIR_XP1: DIR_XM1, DIR_XM1: DIR_XP1,
                 DIR_YP1: DIR_YM1, DIR_YM1: DIR_YP1}
+_OPPOSITE_SLOT = (2, 3, 0, 1)
 
 # Global monotonic state-version source. Every mutable solver-state object
 # (stencil coefficient sets, transfer null vectors, deflation bases) draws
@@ -112,14 +116,20 @@ class ChiralityState(enum.IntEnum):
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["clover", "hopping", "shift", "eo_shift", "dof_shift"],
+         data_fields=["clover", "hopping", "shift", "eo_shift", "dof_shift",
+                      "twolink", "corner"],
          meta_fields=["lat"])
 @dataclasses.dataclass
 class StencilCoeffs:
-    """One coefficient set of a distance-1 stencil (a pytree).
+    """One coefficient set of a distance-<=2 stencil (a pytree).
 
-    ``clover``/``hopping`` may be None when the piece does not exist
-    (reference QMG_PIECE_* allocation flags, stencil_2d.h:43-52, :213-252).
+    ``clover``/``hopping``/``twolink``/``corner`` may be None when the
+    piece does not exist (reference QMG_PIECE_* allocation flags,
+    stencil_2d.h:43-52, :213-252). The reference allocates twolink and
+    corner but never APPLIES them (warnings at stencil_2d.h:925-933);
+    here they are applied, daggered, and rbjacobi-derived like hopping.
+    Slot orders follow stencil_2d.h:28-39: twolink (4, 2, Y, Xh, nc, nc)
+    over {+2X,+2Y,-2X,-2Y}; corner likewise over {+X+Y,-X+Y,-X-Y,+X-Y}.
     """
     lat: Lattice2D
     clover: Optional[jax.Array]
@@ -127,19 +137,25 @@ class StencilCoeffs:
     shift: jax.Array
     eo_shift: jax.Array
     dof_shift: jax.Array
+    twolink: Optional[jax.Array] = None
+    corner: Optional[jax.Array] = None
 
     def replace(self, **kw) -> "StencilCoeffs":
         return dataclasses.replace(self, **kw)
 
+    def is_distance1(self) -> bool:
+        return self.twolink is None and self.corner is None
+
 
 def make_coeffs(lat: Lattice2D, clover=None, hopping=None, shift=0.0,
-                eo_shift=0.0, dof_shift=0.0, dtype=jnp.complex128
-                ) -> StencilCoeffs:
+                eo_shift=0.0, dof_shift=0.0, dtype=jnp.complex128,
+                twolink=None, corner=None) -> StencilCoeffs:
     c = jnp.asarray(shift, dtype=dtype)
     e = jnp.asarray(eo_shift, dtype=dtype)
     d = jnp.asarray(dof_shift, dtype=dtype)
     return StencilCoeffs(lat=lat, clover=clover, hopping=hopping, shift=c,
-                         eo_shift=e, dof_shift=d)
+                         eo_shift=e, dof_shift=d, twolink=twolink,
+                         corner=corner)
 
 
 # ---------------------------------------------------------------------------
@@ -189,6 +205,41 @@ def apply_hopping_half(coeffs: StencilCoeffs, x_half, src_parity: int,
     return out
 
 
+def _apply_pulled_terms(mats, dirs, x, direction: Optional[int] = None):
+    """sum_d mats[d] . pull(x, dirs[d]) (optionally one direction)."""
+    sel = range(len(dirs)) if direction is None else (
+        dirs.index(direction),)
+    out = None
+    for i in sel:
+        term = linalg.site_matvec(mats[i], cshift_pull(x, dirs[i]))
+        out = term if out is None else out + term
+    return out
+
+
+def apply_twolink(coeffs: StencilCoeffs, x, direction: Optional[int] = None):
+    """Distance-2 term: lhs += sum_mu twolink_mu(s) rhs(s + 2mu).
+
+    The reference allocates this piece but never applies it
+    (stencil_2d.h:155-160 alloc, :925-928 'not yet supported' warning);
+    here it is applied like hopping, over the parity-PRESERVING
+    distance-2 pulls.
+    """
+    if coeffs.twolink is None or coeffs.lat.volume == 1:
+        return jnp.zeros_like(x)
+    return _apply_pulled_terms(coeffs.twolink, TWOLINK_DIRS, x, direction)
+
+
+def apply_corner(coeffs: StencilCoeffs, x, direction: Optional[int] = None):
+    """Corner term: lhs += sum_munu corner_munu(s) rhs(s + mu + nu).
+
+    Reference allocates-but-never-applies (stencil_2d.h:162-164,
+    :930-933); applied here over the parity-preserving corner pulls.
+    """
+    if coeffs.corner is None or coeffs.lat.volume == 1:
+        return jnp.zeros_like(x)
+    return _apply_pulled_terms(coeffs.corner, CORNER_DIRS, x, direction)
+
+
 def apply_shift(coeffs: StencilCoeffs, x):
     """Mass/eo/dof shifts (reference apply_M_shift, :865-909)."""
     lat = coeffs.lat
@@ -219,22 +270,31 @@ def apply_shift(coeffs: StencilCoeffs, x):
 def apply_M(coeffs: StencilCoeffs, x):
     """Full operator lhs = M rhs (reference apply_M, :912-936).
 
-    The clover and the four hopping terms fuse into ONE stacked einsum
-    (contraction over 5*nc) - a single batched matvec instead of five,
-    which matters on the latency-bound small coarse levels. The
-    coefficient stack is built from trace-time constants, so XLA hoists
-    it out of solver loops.
+    The clover, hopping, and (when present) twolink/corner terms fuse
+    into ONE stacked einsum (contraction over n_terms*nc) - a single
+    batched matvec instead of five-plus, which matters on the
+    latency-bound small coarse levels. The coefficient stack is built
+    from trace-time constants, so XLA hoists it out of solver loops.
     """
     if coeffs.hopping is not None and coeffs.lat.volume > 1:
         nbrs = [cshift_pull(x, d) for d in ALL_DIRS]
-        mats = coeffs.hopping
+        mats = [coeffs.hopping]
         if coeffs.clover is not None:
             nbrs = [x] + nbrs
-            mats = jnp.concatenate([coeffs.clover[None], coeffs.hopping])
+            mats = [coeffs.clover[None]] + mats
+        if coeffs.twolink is not None:
+            nbrs += [cshift_pull(x, d) for d in TWOLINK_DIRS]
+            mats.append(coeffs.twolink)
+        if coeffs.corner is not None:
+            nbrs += [cshift_pull(x, d) for d in CORNER_DIRS]
+            mats.append(coeffs.corner)
+        mats = mats[0] if len(mats) == 1 else jnp.concatenate(mats)
         out = jnp.einsum("s...ij,s...j->...i", mats, jnp.stack(nbrs))
         return out + apply_shift(coeffs, x)
     out = apply_clover(coeffs, x)
     out = out + apply_hopping(coeffs, x)
+    out = out + apply_twolink(coeffs, x)
+    out = out + apply_corner(coeffs, x)
     out = out + apply_shift(coeffs, x)
     return out
 
@@ -255,7 +315,8 @@ def build_gather_apply(coeffs: StencilCoeffs):
     None when the stencil shape doesn't qualify (no hopping / volume 1).
     """
     lat = coeffs.lat
-    if coeffs.hopping is None or lat.volume <= 1 or coeffs.clover is None:
+    if (coeffs.hopping is None or lat.volume <= 1 or coeffs.clover is None
+            or not coeffs.is_distance1()):
         return None
     import numpy as np
     with _compile_time_eval_on_host():
@@ -301,19 +362,30 @@ def build_dagger(coeffs: StencilCoeffs) -> StencilCoeffs:
     """Coefficients of M^dagger (reference build_dagger_stencil, :1080-1139).
 
     dagger_clover(s) = clover(s)^dagger; the +mu dagger link at s is the
-    conj-transpose of the -mu link at s+mu (and vice versa); shifts conjugate.
+    conj-transpose of the -mu link at s+mu (and vice versa); shifts
+    conjugate. The same neighbor-conjugation rule extends to the
+    twolink/corner pieces: dagger coeff for direction D at s is the
+    conj-transpose of the -D coefficient pulled from s+D (opposite slots
+    pair 0<->2, 1<->3 in both families).
     """
     d_clover = (linalg.site_conjtrans(coeffs.clover)
                 if coeffs.clover is not None else None)
-    d_hopping = None
-    if coeffs.hopping is not None:
+
+    def _dagger_piece(mats, dirs):
         parts = []
-        for d in ALL_DIRS:
-            opp = OPPOSITE_DIR[d]
-            pulled = cshift_pull(coeffs.hopping[opp], d)
+        for i, d in enumerate(dirs):
+            pulled = cshift_pull(mats[_OPPOSITE_SLOT[i]], d)
             parts.append(linalg.site_conjtrans(pulled))
-        d_hopping = jnp.stack(parts)
+        return jnp.stack(parts)
+
+    d_hopping = (_dagger_piece(coeffs.hopping, ALL_DIRS)
+                 if coeffs.hopping is not None else None)
+    d_twolink = (_dagger_piece(coeffs.twolink, TWOLINK_DIRS)
+                 if coeffs.twolink is not None else None)
+    d_corner = (_dagger_piece(coeffs.corner, CORNER_DIRS)
+                if coeffs.corner is not None else None)
     return coeffs.replace(clover=d_clover, hopping=d_hopping,
+                          twolink=d_twolink, corner=d_corner,
                           shift=jnp.conj(coeffs.shift),
                           eo_shift=jnp.conj(coeffs.eo_shift),
                           dof_shift=jnp.conj(coeffs.dof_shift))
@@ -359,7 +431,9 @@ def build_rbjacobi(coeffs: StencilCoeffs) -> RBJacobiSet:
 
     rbj clover = identity; rbj +mu hopping at s = hopping_+mu(s) cinv(s+mu)
     (the reference computes this with a cshift-conjugation dance,
-    :1556-1582; here it is a pull of cinv); shifts vanish.
+    :1556-1582; here it is a pull of cinv); shifts vanish. The same
+    right-multiply-by-the-source-site's-B^{-1} rule extends to the
+    twolink/corner pieces (pull cinv by the matching direction).
     """
     lat = coeffs.lat
     b = mass_pattern(coeffs)
@@ -367,15 +441,23 @@ def build_rbjacobi(coeffs: StencilCoeffs) -> RBJacobiSet:
         b = b + coeffs.clover
     cinv = linalg.site_inv_qr(b)
     rbj_clover = linalg.identity_like(b)
-    rbj_hopping = None
-    if coeffs.hopping is not None:
+
+    def _rbj_piece(mats, dirs):
         parts = []
-        for d in ALL_DIRS:
+        for i, d in enumerate(dirs):
             pulled_cinv = cshift_pull(cinv, d)
-            parts.append(linalg.site_matmul(coeffs.hopping[d], pulled_cinv))
-        rbj_hopping = jnp.stack(parts)
+            parts.append(linalg.site_matmul(mats[i], pulled_cinv))
+        return jnp.stack(parts)
+
+    rbj_hopping = (_rbj_piece(coeffs.hopping, ALL_DIRS)
+                   if coeffs.hopping is not None else None)
+    rbj_twolink = (_rbj_piece(coeffs.twolink, TWOLINK_DIRS)
+                   if coeffs.twolink is not None else None)
+    rbj_corner = (_rbj_piece(coeffs.corner, CORNER_DIRS)
+                  if coeffs.corner is not None else None)
     zero = jnp.zeros_like(coeffs.shift)
-    rbj = coeffs.replace(clover=rbj_clover, hopping=rbj_hopping, shift=zero,
+    rbj = coeffs.replace(clover=rbj_clover, hopping=rbj_hopping,
+                         twolink=rbj_twolink, corner=rbj_corner, shift=zero,
                          eo_shift=zero, dof_shift=zero)
     return RBJacobiSet(coeffs=rbj, cinv=cinv)
 
@@ -396,7 +478,16 @@ def build_rbj_dagger(rbj: RBJacobiSet) -> RBJacobiSet:
 
 def apply_rbj_schur(rbj: RBJacobiSet, x_even):
     """(1 - D_eo D_oo^{-1} D_oe D_ee^{-1}) on the even half
-    (reference apply_M_rbjacobi_schur, :1886-1908)."""
+    (reference apply_M_rbjacobi_schur, :1886-1908).
+
+    Requires a distance-1 stencil: the parity-preserving twolink/corner
+    pieces would make D_ee/D_oo non-site-diagonal, so the eo Schur
+    complement below would be wrong (same restriction as the reference,
+    whose Schur paths predate any twolink/corner application).
+    """
+    if not rbj.coeffs.is_distance1():
+        raise ValueError("eo-Schur requires a distance-1 stencil "
+                         "(twolink/corner pieces present)")
     t_odd = apply_hopping_half(rbj.coeffs, x_even, src_parity=0)
     t_even = apply_hopping_half(rbj.coeffs, t_odd, src_parity=1)
     return x_even - t_even

@@ -1,0 +1,160 @@
+"""Component-level timing of the batched-vs-single K-cycle (VERDICT r3
+item 3, continued).
+
+The HLO census (probe_batched_hlo.py) showed the batched program's copy
+BYTES per rhs are comparable to single (110 vs 136 MiB) and temp memory
+scales linearly - the whole-program relayout hypothesis is NOT
+confirmed. This probe times the individual pipeline stages under
+jax.vmap to find which stage carries the ~3x per-rhs overhead:
+
+  * fine Dslash apply (level 0, 256^2 nc=2)
+  * coarse apply (level 1, 64^2 nc=8)
+  * coarsest apply (level 2, 16^2 nc=8)
+  * restrict+prolong round trip (level 0)
+  * one full outer FGCR iteration (fixed-schedule 3 minus 1, halved)
+
+Each stage is K applications inside one jitted program (amortizes
+dispatch), run single and vmapped x nrhs; the figure of merit is
+  ratio = batched_time / (nrhs * single_time)
+(1.0 = perfect linear scaling; < 1 = batching amortizes; > 1 = the
+stage is where the regression lives).
+
+Usage: python scripts/probe_batched_components.py [L] [nrhs] [K]
+"""
+
+import sys
+import time
+
+sys.path.insert(0, ".")
+
+import numpy as np
+
+
+def bench(fn, args, iters=20):
+    import jax
+    f = jax.jit(fn)
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    L = int(sys.argv[1]) if len(sys.argv) > 1 else 256
+    nrhs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    K = int(sys.argv[3]) if len(sys.argv) > 3 else 20
+
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+    from qmg_tpu.lattice import Lattice2D
+    from qmg_tpu.operators import Wilson2D
+    from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
+    from qmg_tpu.stencil import apply_M
+    from qmg_tpu.tpu_compat import (make_planes_solver, host_to_planes,
+                                    from_planes, to_planes)
+    from qmg_tpu import u1
+    from qmg_tpu.rng import QMGRandom
+
+    lat = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        gauge = jnp.asarray(u1.gauss_gauge_u1(lat, rng, 6.0),
+                            dtype=jnp.complex64)
+        op = Wilson2D(lat, -0.06, gauge, dtype=jnp.complex64)
+        cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
+                           nullvec_max_iter=200)
+        mg = build_kcycle_hierarchy(lat, op, cfg, rng)
+        _, state = make_planes_solver(mg, tol=1e-5, max_iter=200,
+                                      restart_freq=32)
+        b1 = host_to_planes(rng.gaussian_cv(lat))
+        bN = np.stack([host_to_planes(rng.gaussian_cv(lat))
+                       for _ in range(nrhs)])
+        # Coarse-level probe vectors.
+        vc = [host_to_planes(
+            np.asarray(rng.gaussian_cv(mg.get_lattice(l))
+                       ).astype(np.complex64))
+              for l in range(mg.get_num_levels())]
+        vcN = [np.stack([host_to_planes(
+            np.asarray(rng.gaussian_cv(mg.get_lattice(l))
+                       ).astype(np.complex64)) for _ in range(nrhs)])
+               for l in range(mg.get_num_levels())]
+
+    dev = jax.devices()[0]
+    print(f"[probe] backend {dev.platform} ({dev.device_kind}), L={L}, "
+          f"nrhs={nrhs}, K={K}", flush=True)
+
+    rows = []
+
+    def report(label, fn, a1, aN):
+        t1 = bench(fn, a1)
+        tN = bench(jax.vmap(fn, in_axes=tuple(
+            None if i < len(a1) - 1 else 0 for i in range(len(a1)))), aN)
+        ratio = tN / (nrhs * t1)
+        rows.append((label, t1 * 1e3, tN * 1e3, ratio))
+        print(f"[{label:18s}] single {t1*1e3:8.2f} ms  "
+              f"batched x{nrhs} {tN*1e3:8.2f} ms  "
+              f"per-rhs ratio {ratio:5.2f}", flush=True)
+
+    # --- per-level stencil applies -------------------------------------
+    for lvl in range(mg.get_num_levels()):
+        st = mg.get_stencil(lvl)
+        cl_p = state.get(f"clover{lvl}")
+        hp_p = state.get(f"hopping{lvl}")
+        sh_p = state[f"shifts{lvl}"]
+        base = st.coeffs
+
+        def stage(cl_p, hp_p, sh_p, v_p, base=base):
+            sh = from_planes(sh_p)
+            kw = {}
+            if cl_p is not None:
+                kw["clover"] = from_planes(cl_p)
+            if hp_p is not None:
+                kw["hopping"] = from_planes(hp_p)
+            coeffs = base.replace(**kw, shift=sh[0], eo_shift=sh[1],
+                                  dof_shift=sh[2])
+            v = from_planes(v_p)
+
+            def body(_, v):
+                v = apply_M(coeffs, v)
+                return v / jnp.float32(8.0)
+            return to_planes(lax.fori_loop(0, K, body, v))
+
+        report(f"apply L{lvl} {st.lat.y_len}^2 nc{st.lat.nc}", stage,
+               (cl_p, hp_p, sh_p, vc[lvl]), (cl_p, hp_p, sh_p, vcN[lvl]))
+
+    # --- transfer round trip at level 0 --------------------------------
+    t = mg.get_transfer(0)
+    nvb_p = state["nvb0"]
+    saved_nvb = t._nvb
+
+    def xfer(nvb_p, v_p):
+        t._nvb = from_planes(nvb_p)
+        try:
+            v = from_planes(v_p)
+
+            def body(_, v):
+                return t.prolong_c2f(t.restrict_f2c(v)) / jnp.float32(4.0)
+            return to_planes(lax.fori_loop(0, K, body, v))
+        finally:
+            t._nvb = saved_nvb
+
+    report("restrict+prolong", xfer, (nvb_p, vc[0]), (nvb_p, vcN[0]))
+
+    # --- full outer iterations: fixed 3 vs fixed 1 ---------------------
+    sp1, _ = make_planes_solver(mg, tol=0.0, max_iter=1, restart_freq=32,
+                                fixed_outer_iters=1)
+    sp3, _ = make_planes_solver(mg, tol=0.0, max_iter=3, restart_freq=32,
+                                fixed_outer_iters=3)
+    for label, sp in (("outer fixed 1", sp1), ("outer fixed 3", sp3)):
+        report(label, sp, (state, b1), (state, bN))
+    print("[probe] (outer3 - outer1)/2 = cost of one steady outer "
+          "iteration incl. K-cycle precond", flush=True)
+
+
+if __name__ == "__main__":
+    main()
