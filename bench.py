@@ -501,6 +501,11 @@ def bench_kcycle(args):
             b_p = host_to_planes(rng.gaussian_cv(lat))
 
     solve_jit = jax.jit(solve_planes)
+    if args.deflate and args.setup != "device":
+        # Silently ignoring the flag once produced a no-op deflation
+        # measurement; refuse instead.
+        raise SystemExit("--deflate requires --setup device (deflation "
+                         "is computed inside the device-resident setup)")
     if args.setup == "device":
         # Device-resident setup: null-vector solves, block ortho, the
         # Galerkin coarse build and the dense coarsest inverse all jit
