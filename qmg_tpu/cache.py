@@ -20,6 +20,14 @@ machine can hand a different machine code using ISA extensions it lacks
 such as SIGILL" when this workspace moved hosts). Scoping the directory
 by a hash of the host's CPU feature flags makes a foreign cache
 invisible instead of dangerous.
+
+Residual log noise: under the remote-compile tunnel
+(PALLAS_AXON_REMOTE_COMPILE=1) even XLA:CPU modules may be compiled on
+the remote build host, whose target-feature list carries XLA
+pseudo-features (``+prefer-no-gather``/``+prefer-no-scatter``) this
+host does not report. cpu_aot_loader then warns at load time; the real
+ISA feature sets match (the fingerprint saw to that), so the warnings
+are benign.
 """
 
 import hashlib

@@ -259,14 +259,13 @@ class StatefulMultigridMG(MultigridMG):
         quality over the reference's tol-0.2 CGNR."""
         from . import eig
         cs = self.coarsest_solve
-        if StencilType(cs.coarsest_stencil_app) == StencilType.RIGHT_SCHUR:
-            raise ValueError(
-                "coarsest_direct with a RIGHT_SCHUR coarsest app is not "
-                "supported (the Schur apply acts on the even half; the "
-                "dense inverse probes the full space)")
         st = self.get_stencil(self.get_num_levels() - 1)
-        matvec = st.get_apply_function(StencilType(cs.coarsest_stencil_app))
-        shape = st.lat.cv_shape()
+        stype = StencilType(cs.coarsest_stencil_app)
+        matvec = st.get_apply_function(stype)
+        # RIGHT_SCHUR solves on the even half-space; densify on the
+        # solve-space shape (the K-cycle's direct branch applies dinv to
+        # prepare_M's output, which already has that shape).
+        shape = st.solve_size_shape(stype)
         import jax
         dd = (jnp.complex128 if jax.config.jax_enable_x64
               else jnp.complex64)

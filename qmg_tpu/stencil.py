@@ -195,14 +195,18 @@ def apply_hopping_half(coeffs: StencilCoeffs, x_half, src_parity: int,
     apply_M_eo / apply_M_oe (reference :706-841) without dead halves.
     """
     dest = 1 - src_parity
-    dirs = ALL_DIRS if direction is None else (direction,)
-    out = jnp.zeros_like(x_half)
     if coeffs.hopping is None or coeffs.lat.volume == 1:
-        return out
-    for d in dirs:
-        pulled = cshift_pull_half(x_half, src_parity, d)
-        out = out + linalg.site_matvec(coeffs.hopping[d, dest], pulled)
-    return out
+        return jnp.zeros_like(x_half)
+    if direction is not None:
+        pulled = cshift_pull_half(x_half, src_parity, direction)
+        return linalg.site_matvec(coeffs.hopping[direction, dest], pulled)
+    # All four directions fuse into ONE stacked einsum (contraction over
+    # 4*nc), mirroring apply_M's fused full-lattice form - the Schur
+    # paths apply this twice per operator application, so the fusion
+    # matters on the latency-bound coarse levels.
+    pulled = jnp.stack([cshift_pull_half(x_half, src_parity, d)
+                        for d in ALL_DIRS])
+    return jnp.einsum("s...ij,s...j->...i", coeffs.hopping[:, dest], pulled)
 
 
 def _apply_pulled_terms(mats, dirs, x, direction: Optional[int] = None):

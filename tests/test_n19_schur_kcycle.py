@@ -53,6 +53,55 @@ def test_schur_kcycle_end_to_end():
     assert int(res.iters) < 60
 
 
+def test_schur_kcycle_direct_coarsest():
+    """Direct (dense-inverse) coarsest under a RIGHT_SCHUR coarsest app.
+
+    prepare_direct_coarsest densifies on the Schur even half-space
+    (solve_size_shape) - the exact coarsest must precondition at least
+    as well as the tol-0.2 iterative one, and the reconstruction must
+    hit the same outer contract. This is what lets the n19
+    configuration use the one-matmul coarsest (and the fixed-schedule
+    batched path) on the TPU.
+    """
+    lat0 = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
+    op = Wilson2D(lat0, -0.05, g)
+    op.build_rbjacobi_stencil()
+
+    cfg = KCycleConfig(
+        n_refine=1, coarse_dof=8,
+        fine_stencil_app=StencilType.RIGHT_SCHUR,
+        coarsest_stencil_app=StencilType.RIGHT_SCHUR,
+        nullvec_stype=StencilType.RIGHT_JACOBI,
+        nullvec_solver="gcr_restart",
+        precond_coarsen_rbjacobi=True,
+        build_extra=CoarseOperator2D.BUILD_RBJACOBI)
+    mg_it = build_kcycle_hierarchy(lat0, op, cfg, QMGRandom(1337))
+    import dataclasses
+    cfg_d = dataclasses.replace(cfg, coarsest_direct=True)
+    mg_dir = build_kcycle_hierarchy(lat0, op, cfg_d, QMGRandom(1337))
+    assert mg_dir.coarsest_dinv is not None
+    # The dense inverse lives on the even half-space.
+    half = mg_dir.get_stencil(1).solve_size_shape(StencilType.RIGHT_SCHUR)
+    n_half = int(np.prod(half))
+    assert mg_dir.coarsest_dinv.shape == (n_half, n_half)
+
+    b = jnp.asarray(rng.gaussian_cv(lat0))
+    b_prep = op.prepare_M(b, StencilType.RIGHT_SCHUR)
+    res_it = mg_it.solve(b_prep, tol=1e-10, max_iter=400, restart_freq=32,
+                         outer_type=StencilType.RIGHT_SCHUR)
+    res = mg_dir.solve(b_prep, tol=1e-10, max_iter=400, restart_freq=32,
+                       outer_type=StencilType.RIGHT_SCHUR)
+    assert bool(res.converged), f"iters={int(res.iters)}"
+    # Exact coarsest preconditions at least as well (allow +1 for
+    # stopping-test roundoff).
+    assert int(res.iters) <= int(res_it.iters) + 1
+    x = op.reconstruct_M(res.x, b, StencilType.RIGHT_SCHUR)
+    resid = float(jnp.sqrt(norm2sq(b - op.apply_M(x)) / norm2sq(b)))
+    assert resid < 1e-9, f"check tolerance {resid}"
+
+
 def test_schur_coarse_op_consistency():
     """The coarsened-rbjacobi operator must equal R (A B^{-1}) P."""
     lat0 = Lattice2D(L, L, 2)
