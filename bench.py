@@ -93,6 +93,15 @@ def main(argv=None):
                         "low eigenpairs of the coarsest normal operator "
                         "(setup_planes deflate_low; reference "
                         "stateful_multigrid.h:613-696)")
+    p.add_argument("--chain", type=int, default=0,
+                   help="kcycle --nrhs mode: also measure the STEADY-"
+                        "STATE device cost by chaining this many solves "
+                        "inside one program (each rhs perturbed by the "
+                        "previous solution) - removes the per-dispatch "
+                        "tunnel overhead that dominates one-solve-per-"
+                        "dispatch timings (PERF.md 'Batched multi-RHS "
+                        "ROOT-CAUSED'); the JSON metric then reports the "
+                        "marginal per-rhs ms")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
     args = p.parse_args(argv)
@@ -436,12 +445,20 @@ def bench_kcycle(args):
                 nullvec_solver="gcr_restart",
                 precond_coarsen_rbjacobi=True,
                 build_extra=CoarseOperator2D.BUILD_RBJACOBI)
+        if args.deflate:
+            # Deflation projects the NORMAL coarsest op's low modes
+            # (reference stateful_multigrid.h:613-696): the coarsest
+            # solve becomes CG on Mdag M, and direct is off (deflation
+            # accelerates the iterative coarsest; the dense inverse
+            # would make it moot).
+            from qmg_tpu.stencil import StencilType as _ST
+            schur_kw["coarsest_stencil_app"] = _ST.MDAGGER_M
         cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8,
                            nullvec_tol=5e-4, nullvec_max_iter=200,
                            inner_restart_freq=inner_restart,
                            coarsest_restart_freq=restart,
                            coarsest_direct=(not args.no_direct
-                                            and args.outer != "schur"),
+                                            and not args.deflate),
                            **schur_kw)
         mg = build_kcycle_hierarchy(lat, op, cfg, rng,
                                     structure_only=args.setup == "device")
@@ -560,6 +577,45 @@ def bench_kcycle(args):
               f"target {tol}) in "
               f"{dt*1e3:.1f} ms total = {dt*1e3/args.nrhs:.1f} ms/rhs "
               f"on {jax.devices()[0].device_kind}", file=sys.stderr)
+        if args.chain > 1:
+            # Steady-state device cost: chain K solves inside one
+            # program; the k=K minus k=1 marginal removes dispatch
+            # overhead and pipeline fill.
+            from jax import lax
+
+            def chained(k):
+                def run(state, b):
+                    def body(_, carry):
+                        b_cur, acc = carry
+                        x, _, rsq = solve_planes(state, b_cur)
+                        return b + jnp.float32(1e-3) * x, acc + jnp.sum(rsq)
+                    _, acc = lax.fori_loop(
+                        0, k, body, (b, jnp.float32(0.0)))
+                    return acc
+                return jax.jit(run)
+
+            c1, ck = chained(1), chained(args.chain)
+            float(np.asarray(c1(state_dev, b_dev)))
+            float(np.asarray(ck(state_dev, b_dev)))  # warm both
+            t0 = time.perf_counter()
+            float(np.asarray(c1(state_dev, b_dev)))
+            t1 = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            float(np.asarray(ck(state_dev, b_dev)))
+            tk = time.perf_counter() - t0
+            per_solve = (tk - t1) / (args.chain - 1)
+            print(f"# steady-state (chain {args.chain}): "
+                  f"{per_solve*1e3:.1f} ms/solve = "
+                  f"{per_solve*1e3/args.nrhs:.2f} ms/rhs; per-dispatch "
+                  f"overhead ~{(t1-per_solve)*1e3:.0f} ms",
+                  file=sys.stderr)
+            print(json.dumps({
+                "metric": "wilson_kcycle_batched_steady_ms_per_rhs",
+                "value": round(per_solve * 1e3 / args.nrhs, 2),
+                "unit": "ms",
+                "vs_baseline": args.nrhs,
+            }))
+            return
         print(json.dumps({
             "metric": "wilson_kcycle_batched_ms_per_rhs",
             "value": round(dt * 1e3 / args.nrhs, 2),

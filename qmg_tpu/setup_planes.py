@@ -38,6 +38,25 @@ from .tpu_compat import to_planes, from_planes, host_to_planes
 from . import solvers
 
 
+def _prec_wrap(fn, matmul_precision):
+    """Stamp a matmul precision onto every op traced inside ``fn``.
+
+    TPU matmuls/einsums default to reduced-precision bf16 passes; the
+    solver path pins "highest" (tpu_compat.py) but the setup stages are
+    a separate trace. "highest" is the safe default: the adaptive pass
+    at 512^2 produced NaN state under the bf16 default (PERF.md round
+    4), and the K-cycle-smoothing/Krylov recurrences inside the setup
+    are exactly the computations the solver pins for.
+    """
+    if matmul_precision is None:
+        return fn
+
+    def wrapped(*args, **kwargs):
+        with jax.default_matmul_precision(matmul_precision):
+            return fn(*args, **kwargs)
+    return wrapped
+
+
 def _level_lattices(lat0: Lattice2D, cfg: KCycleConfig):
     lats = [lat0]
     cur_x, cur_y = lat0.x_len, lat0.y_len
@@ -154,7 +173,8 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                              w: float = 1.0, dtype=jnp.complex64,
                              per_level_jit: bool = True, mesh=None,
                              channels_first: bool = False,
-                             deflate_low: int = 0, deflate_high: int = 0):
+                             deflate_low: int = 0, deflate_high: int = 0,
+                             matmul_precision: str | None = "highest"):
     """Returns ``setup_fn(gauge_planes, *gauss_planes) -> state`` -- the
     n13 setup running on-device, producing the make_planes_solver state
     dict.
@@ -468,6 +488,13 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             _level1_fn = _level1_fn_cf
             _mk_level_fn = _mk_level_fn_cf
 
+        _level1_fn = _prec_wrap(_level1_fn, matmul_precision)
+        _cdinv_fn = _prec_wrap(_cdinv_fn, matmul_precision)
+        _densify_coarsest_fn = _prec_wrap(_densify_coarsest_fn,
+                                          matmul_precision)
+        _mk_level_fn_raw = _mk_level_fn
+        _mk_level_fn = lambda i: _prec_wrap(_mk_level_fn_raw(i),
+                                            matmul_precision)
         if mesh is None:
             level1_jit = jax.jit(_level1_fn)
             level_jits = [jax.jit(_mk_level_fn(i))
@@ -641,7 +668,9 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                 _direct_coarsest_dinv_traced(mg, dtype))
         return state
 
-    return setup_fn
+    # Monolithic (whole-setup) trace: the caller jits setup_fn; stamp
+    # the precision on the trace itself.
+    return _prec_wrap(setup_fn, matmul_precision)
 
 
 # ---------------------------------------------------------------------------
@@ -699,7 +728,8 @@ def adaptive_seed_planes(lat0: Lattice2D, acfg: AdaptiveConfig, rng,
 def make_adaptive_setup_planes(lat0: Lattice2D, acfg: AdaptiveConfig,
                                mass, w: float = 1.0,
                                dtype=jnp.complex64,
-                               coarsest_direct: bool = False):
+                               coarsest_direct: bool = False,
+                               matmul_precision: str | None = "highest"):
     """Returns ``setup_fn(gauge_planes, init_seeds, pass_seeds) ->
     state`` - the n22 adaptive setup running on-device as per-stage
     jits, producing the make_planes_solver state dict.
@@ -889,9 +919,11 @@ def make_adaptive_setup_planes(lat0: Lattice2D, acfg: AdaptiveConfig,
         mat = mat + jnp.diag(dead.astype(mat.dtype))
         return to_planes(jnp.linalg.inv(mat))
 
-    init_jits = [jax.jit(_mk_init_fn(i)) for i in range(n_refine)]
-    pass_jits = [jax.jit(_mk_pass_fn(i)) for i in range(n_refine)]
-    cdinv_jit = jax.jit(_cdinv_fn)
+    init_jits = [jax.jit(_prec_wrap(_mk_init_fn(i), matmul_precision))
+                 for i in range(n_refine)]
+    pass_jits = [jax.jit(_prec_wrap(_mk_pass_fn(i), matmul_precision))
+                 for i in range(n_refine)]
+    cdinv_jit = jax.jit(_prec_wrap(_cdinv_fn, matmul_precision))
 
     def _apply_build(state, i, outs):
         (state[f"tv{i}"], state[f"nvb{i}"], state[f"clover{i + 1}"],

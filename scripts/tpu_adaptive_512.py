@@ -51,6 +51,10 @@ def main():
     print(f"[adaptive] cold full setup (init + {acfg.n_setup} pass, "
           f"incl compile): {time.time() - t0:.1f} s, checksum {cks:.4e}",
           flush=True)
+    bad = [k for k in sorted(state)
+           if not bool(jnp.all(jnp.isfinite(state[k])))]
+    if bad:
+        print(f"[adaptive] NONFINITE state arrays: {bad}", flush=True)
 
     with jax.default_device(cpu):
         seeds2 = adaptive_seed_planes(lat, acfg, rng)

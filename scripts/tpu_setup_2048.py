@@ -48,7 +48,9 @@ def main():
           f"dev={dev.device_kind}", flush=True)
 
     cfg = KCycleConfig(n_refine=n_refine, coarse_dof=8,
-                       coarsest_direct=True)
+                       coarsest_direct=True,
+                       inner_restart_freq=8 if L >= 2048 else 32,
+                       coarsest_restart_freq=16 if L >= 2048 else 32)
     t0 = time.time()
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -91,8 +93,12 @@ def main():
         mg = build_kcycle_hierarchy(lat, op, cfg, rng,
                                     structure_only=True)
         use_pallas = lat.xh % 128 == 0  # kernel lane requirement
+        # Right-size the GCR direction stores at >= 2048^2 (bench.py
+        # does the same): the flat (R, n) outer store at R=32 is 4 GiB
+        # and OOMs the 16 GB chip once the setup state is resident.
+        restart = 16 if L >= 2048 else 32
         solve, _ = make_planes_solver(
-            mg, tol=1e-6, max_iter=200, restart_freq=32,
+            mg, tol=1e-6, max_iter=200, restart_freq=restart,
             use_pallas_fine=use_pallas,
             pallas_kind="wilson-r1" if use_pallas else None)
         b = np.asarray(rng.gaussian_cv(lat)).astype(np.complex64)
