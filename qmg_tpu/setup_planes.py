@@ -24,6 +24,8 @@ being the TPU-native redesign.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -925,9 +927,18 @@ def make_adaptive_setup_planes(lat0: Lattice2D, acfg: AdaptiveConfig,
                  for i in range(n_refine)]
     cdinv_jit = jax.jit(_prec_wrap(_cdinv_fn, matmul_precision))
 
-    def _apply_build(state, i, outs):
+    def _apply_build(state, i, outs, label=""):
         (state[f"tv{i}"], state[f"nvb{i}"], state[f"clover{i + 1}"],
          state[f"hopping{i + 1}"], state[f"shifts{i + 1}"]) = outs
+        if label and os.environ.get("QMG_ADAPTIVE_DEBUG"):
+            # Failure localization (costs one device round trip per
+            # stage): name the first stage whose outputs go non-finite.
+            names = (f"tv{i}", f"nvb{i}", f"clover{i + 1}",
+                     f"hopping{i + 1}", f"shifts{i + 1}")
+            bad = [n for n, o in zip(names, outs)
+                   if not bool(jnp.all(jnp.isfinite(o)))]
+            print(f"[qmg_tpu adaptive] {label}: "
+                  + (f"NONFINITE {bad}" if bad else "finite"), flush=True)
 
     def setup_fn(gauge_planes, init_seeds, pass_seeds):
         if len(init_seeds) != n_refine:
@@ -946,16 +957,19 @@ def make_adaptive_setup_planes(lat0: Lattice2D, acfg: AdaptiveConfig,
         # Initial levels, fine to coarse (n22:260-333).
         for i in range(n_refine):
             _apply_build(state, i,
-                         _call_init(i, state, gauge_planes, init_seeds[i]))
+                         _call_init(i, state, gauge_planes, init_seeds[i]),
+                         label=f"init L{i}")
         # Adaptive passes (n22:336-426).
         for m in range(acfg.n_setup):
             for i in range(n_refine):
-                _apply_build(state, i, pass_jits[i](state, gauge_planes))
+                _apply_build(state, i, pass_jits[i](state, gauge_planes),
+                             label=f"pass {m} L{i}")
                 for idx, jj in enumerate(range(i + 1, n_refine)):
                     _apply_build(
                         state, jj,
                         _call_init(jj, state, gauge_planes,
-                                   pass_seeds[m][i][idx]))
+                                   pass_seeds[m][i][idx]),
+                        label=f"pass {m} rebuild L{jj}")
         if coarsest_direct:
             state["cdinv"] = cdinv_jit(state[f"clover{n_refine}"],
                                        state[f"hopping{n_refine}"],
