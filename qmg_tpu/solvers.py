@@ -92,7 +92,10 @@ def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
     def body(s):
         x, r, p, rsq, k = s
         ap = matvec(p)
-        alpha = rsq / jnp.real(vdot(p, ap))
+        # Breakdown guard (see gcr core): a stalled solve's <p, Ap> can
+        # underflow to 0 in f32 - no-op the iteration instead of NaN.
+        den = jnp.real(vdot(p, ap))
+        alpha = jnp.where(den > 0, rsq / jnp.where(den > 0, den, 1.0), 0.0)
         x = x + alpha * p
         r = r - alpha * ap
         rsq_new = norm2sq(r)
@@ -216,14 +219,25 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
         z = (z.reshape(n) - betas @ ps).reshape(b.shape)
 
         apsq_new = norm2sq(ap)
-        alpha = vdot(ap, r) / apsq_new
+        # Breakdown guard: when the solve has stalled at the dtype's
+        # noise floor (e.g. a c64 solve asked for tol 1e-10), the
+        # orthogonalized direction collapses and apsq_new can UNDERFLOW
+        # to exactly 0 in f32 - alpha would be 0/0 = NaN and poison x
+        # (observed: the 512^2 adaptive pass-stage smoothing on the
+        # TPU, PERF.md round 4). A broken-down iteration becomes a
+        # no-op (alpha 0, dummy apsq slot) instead; `converged` still
+        # reports the tolerance test honestly.
+        broke = ~(apsq_new > jnp.asarray(np.finfo(rdt).tiny, rdt))
+        alpha = jnp.where(broke, 0.0,
+                          vdot(ap, r) / jnp.where(broke, 1.0, apsq_new))
         x = x + alpha * z
         r = r - alpha * ap
         rsq = norm2sq(r)
 
         ps = jax.lax.dynamic_update_index_in_dim(ps, z.reshape(n), j, 0)
         aps = jax.lax.dynamic_update_index_in_dim(aps, ap.reshape(n), j, 0)
-        apsq = jax.lax.dynamic_update_index_in_dim(apsq, apsq_new, j, 0)
+        apsq = jax.lax.dynamic_update_index_in_dim(
+            apsq, jnp.where(broke, jnp.ones((), rdt), apsq_new), j, 0)
         _verbose_print(verbose, k + 1, rsq, bsq)
         return (x, r, rsq, ps, aps, apsq, j + 1, k + 1, ops, carry)
 
