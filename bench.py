@@ -67,12 +67,12 @@ def main(argv=None):
                         "in ONE batched device program "
                         "(make_batched_planes_solver); reports ms/rhs")
     p.add_argument("--fixed-schedule", type=str, default=None,
-                   metavar="OUTER,INNER",
-                   help="kcycle --nrhs mode: fixed-trip-count schedule "
-                        "(e.g. '12,4') - every loop predicate becomes "
-                        "a trip counter, so the vmapped batch has no "
-                        "per-lane masking (make_fixed_batched_planes_"
-                        "solver)")
+                   metavar="OUTER[,INNER]",
+                   help="kcycle --nrhs mode: fixed-trip-count schedule. "
+                        "'12' = fixed outer + adaptive masked inner "
+                        "(the measured-best batched config, PERF.md); "
+                        "'12,4' = trip-count every level "
+                        "(make_fixed_batched_planes_solver)")
     p.add_argument("--channels-first", default="auto",
                    choices=["auto", "on", "off"],
                    help="kcycle --setup device: run the setup stages in "
@@ -488,15 +488,21 @@ def bench_kcycle(args):
             if args.fixed_schedule:
                 from qmg_tpu.tpu_compat import (
                     make_fixed_batched_planes_solver)
-                outer_it, inner_it = map(int,
-                                         args.fixed_schedule.split(","))
-                for lvl in range(1, mg.get_num_levels() - 1):
-                    ls = mg.get_level_solve(lvl)
-                    ls.fixed_trips = True
-                    ls.intermediate_iters = inner_it
+                parts = [int(p) for p in args.fixed_schedule.split(",")]
+                outer_it = parts[0]
+                masked_inner = len(parts) == 1
+                if not masked_inner:
+                    # 'OUTER,INNER': trip-count every level.
+                    for lvl in range(1, mg.get_num_levels() - 1):
+                        ls = mg.get_level_solve(lvl)
+                        ls.fixed_trips = True
+                        ls.intermediate_iters = parts[1]
+                # 'OUTER' alone: fixed outer + adaptive (masked) inner -
+                # the measured-best batched configuration (PERF.md).
                 solve_planes, state = make_fixed_batched_planes_solver(
                     mg, outer_iters=outer_it, tol=tol,
                     restart_freq=restart,
+                    allow_masked_inner=masked_inner,
                     coarse_apply=("jnp" if args.coarse_apply == "auto"
                                   else args.coarse_apply))
             else:

@@ -405,34 +405,44 @@ def make_batched_planes_solver(mg, **solver_kw):
     return jax.vmap(solve_planes, in_axes=(None, 0)), state
 
 
-def make_fixed_batched_planes_solver(mg, outer_iters: int, **solver_kw):
+def make_fixed_batched_planes_solver(mg, outer_iters: int,
+                                     allow_masked_inner: bool = False,
+                                     **solver_kw):
     """Fixed-schedule batched multi-RHS solver: like
-    make_batched_planes_solver, but every loop in the program has a
-    TRIP-COUNT predicate - the outer FGCR runs exactly ``outer_iters``
-    trips, the intermediate K-cycle Krylovs run their fixed counts
-    (build the hierarchy with KCycleConfig(inner_fixed_iters=...)), the
-    smoothers are already fixed-count, and the coarsest must be direct.
-    With no data-dependent stopping test anywhere, jax.vmap batches the
-    whole solve with NO per-lane masking selects - the batched program
-    is structurally identical to the single-rhs one with a batch axis.
+    make_batched_planes_solver, but the OUTER FGCR runs exactly
+    ``outer_iters`` trips - removing the outer while_loop's per-lane
+    masking, which is where the batched regression lives (the outer
+    carries include the (R, n) direction stores, and masked-selecting
+    those every iteration measured 4.13x per rhs vs 0.76x with the
+    fixed outer - PERF.md "Batched multi-RHS ROOT-CAUSED").
+
+    By default the INNER schedule must also be trip-counted (build the
+    hierarchy with KCycleConfig(inner_fixed_iters=...) and a direct
+    coarsest) - then NO loop anywhere has a data-dependent predicate.
+    ``allow_masked_inner=True`` keeps the adaptive (tolerance-stopping)
+    inner K-cycle loops instead: their masked carries are small
+    coarse-level fields, measured cheap under vmap, and the adaptive
+    inner typically does LESS work than a conservatively calibrated
+    fixed inner count (the probe's 0.76x configuration).
 
     Calibrate ``outer_iters`` from one adaptive solve (the returned
     res_sq reports the achieved residual so under-shooting is visible).
-    Requires a direct coarsest (the iterative coarsest still carries a
-    tolerance loop).
     """
-    if not (mg.coarsest_solve.direct and mg.coarsest_dinv is not None):
-        raise ValueError("fixed-schedule batched solves need a direct "
-                         "coarsest (prepare_direct_coarsest / "
-                         "KCycleConfig(coarsest_direct=True)): the "
-                         "iterative coarsest keeps a tolerance loop "
-                         "that re-introduces per-lane masking")
-    for lvl in range(1, mg.get_num_levels() - 1):
-        if not mg.get_level_solve(lvl).fixed_trips:
+    if not allow_masked_inner:
+        if not (mg.coarsest_solve.direct and mg.coarsest_dinv is not None):
             raise ValueError(
-                f"level-{lvl} intermediate solve is not fixed_trips - "
-                "build the hierarchy with KCycleConfig("
-                "inner_fixed_iters=k)")
+                "fixed-schedule batched solves need a direct coarsest "
+                "(prepare_direct_coarsest / KCycleConfig("
+                "coarsest_direct=True)): the iterative coarsest keeps a "
+                "tolerance loop that re-introduces per-lane masking; or "
+                "pass allow_masked_inner=True")
+        for lvl in range(1, mg.get_num_levels() - 1):
+            if not mg.get_level_solve(lvl).fixed_trips:
+                raise ValueError(
+                    f"level-{lvl} intermediate solve is not fixed_trips "
+                    "- build the hierarchy with KCycleConfig("
+                    "inner_fixed_iters=k), or pass "
+                    "allow_masked_inner=True")
     solve_planes, state = make_planes_solver(
         mg, fixed_outer_iters=int(outer_iters), **solver_kw)
     return jax.vmap(solve_planes, in_axes=(None, 0)), state
