@@ -31,15 +31,31 @@ import numpy as np
 
 
 def bench(fn, args, iters=20):
+    """Times iters dispatches of fn, scalarized on device.
+
+    jax.block_until_ready does NOT reliably wait on the axon remote-TPU
+    backend (an earlier revision of this probe used it and reported
+    numbers ~30x off); sync by fetching a device-side scalar reduction
+    of the output instead. The fetch is one f32 per call; the MIN over
+    synced reps rejects host/tunnel dispatch noise.
+    """
     import jax
-    f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
+    import jax.numpy as jnp
+
+    def scalar_fn(*a):
+        out = fn(*a)
+        return jax.tree_util.tree_reduce(
+            lambda acc, x: acc + jnp.sum(jnp.abs(x)), out,
+            jnp.float32(0.0))
+
+    f = jax.jit(scalar_fn)
+    float(np.asarray(jax.device_get(f(*args))))  # warm / compile
+    best = float("inf")
     for _ in range(iters):
-        out = f(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / iters
+        t0 = time.perf_counter()
+        float(np.asarray(jax.device_get(f(*args))))
+        best = min(best, time.perf_counter() - t0)
+    return best
 
 
 def main():

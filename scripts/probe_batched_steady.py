@@ -23,20 +23,26 @@ import numpy as np
 
 
 def timed(fn, args, reps=5):
-    """MIN over individually-synced reps: host/tunnel dispatch noise
-    (hundreds of ms when the single host core is contended) only ever
-    ADDS time, so the minimum is the robust estimator for the
-    device-bound cost. A mean over an async batch produced NEGATIVE
-    chain marginals under host load - do not regress to it."""
+    """MIN over individually-synced reps.
+
+    TWO hard-won rules (both violated by earlier revisions of this
+    probe, which produced numbers off by ~30x):
+      * sync by FETCHING the scalar result (float(np.asarray(...))):
+        jax.block_until_ready does NOT reliably wait on the axon
+        remote-TPU backend - chain-9 programs "timed" faster than
+        chain-1 under it;
+      * take the MIN over individually-synced reps: host/tunnel
+        dispatch noise (hundreds of ms on a contended single-core
+        host) only ever ADDS time.
+    ``fn`` must return a SCALAR so the sync fetch is cheap.
+    """
     import jax
     f = jax.jit(fn)
-    out = f(*args)
-    jax.block_until_ready(out)
+    float(np.asarray(jax.device_get(f(*args))))  # warm / compile
     best = float("inf")
     for _ in range(reps):
         t0 = time.perf_counter()
-        out = f(*args)
-        jax.block_until_ready(out)
+        float(np.asarray(jax.device_get(f(*args))))
         best = min(best, time.perf_counter() - t0)
     return best
 
