@@ -533,6 +533,19 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                               sh[n]["scalar"]),
                 out_shardings=sh[n]["scalar"])
 
+        # On a multi-device CPU mesh (the virtual-device test rig), a
+        # stage's collectives run on 8 in-process participant threads
+        # that must all reach each rendezvous within XLA's hard 40 s
+        # watchdog (rendezvous.cc aborts the process past it). Letting
+        # the NEXT stage's XLA compile overlap an in-flight stage
+        # starves those threads on an undersized host (observed: fatal
+        # collective-permute rendezvous timeout at 4096^2 on 1 core).
+        # Stage boundaries are data-dependent anyway, so syncing there
+        # costs nothing; real-chip meshes keep async dispatch.
+        _cpu_mesh = (mesh is not None and
+                     next(iter(mesh.devices.flat)).platform == "cpu")
+        _sync = jax.block_until_ready if _cpu_mesh else (lambda x: x)
+
         def setup_fn(gauge_planes, *gauss_planes):
             if len(gauss_planes) != cfg.n_refine:
                 raise ValueError(f"need {cfg.n_refine} gauss seed arrays, "
@@ -542,18 +555,19 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
                 [complex(mass), 0j, 0j], np.complex64))
             (state["clover0"], state["hopping0"], state["nvb0"],
              state["clover1"], state["hopping1"],
-             state["shifts1"]) = level1_jit(gauge_planes, gauss_planes[0])
+             state["shifts1"]) = _sync(
+                level1_jit(gauge_planes, gauss_planes[0]))
             for i in range(2, cfg.n_refine + 1):
                 (state[f"nvb{i - 1}"], state[f"clover{i}"],
-                 state[f"hopping{i}"], state[f"shifts{i}"]) = \
+                 state[f"hopping{i}"], state[f"shifts{i}"]) = _sync(
                     level_jits[i - 2](
                         state[f"clover{i - 1}"], state[f"hopping{i - 1}"],
-                        state[f"shifts{i - 1}"], gauss_planes[i - 1])
+                        state[f"shifts{i - 1}"], gauss_planes[i - 1]))
             if cfg.coarsest_direct:
                 n = cfg.n_refine
-                state["cdinv"] = cdinv_jit(
+                state["cdinv"] = _sync(cdinv_jit(
                     state[f"clover{n}"], state[f"hopping{n}"],
-                    state[f"shifts{n}"])
+                    state[f"shifts{n}"]))
             if deflate_low or deflate_high:
                 # Deflation stage, host half: tiny dense eig of the
                 # device-densified coarsest normal op, selection by real
