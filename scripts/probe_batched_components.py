@@ -72,6 +72,7 @@ def main():
     nrhs = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     K = int(sys.argv[3]) if len(sys.argv) > 3 else 20
     setup_where = sys.argv[4] if len(sys.argv) > 4 else "host"
+    direct = len(sys.argv) > 5 and sys.argv[5] == "direct"
 
     import jax
     import jax.numpy as jnp
@@ -89,7 +90,7 @@ def main():
     rng = QMGRandom(1337)
     cpu = jax.devices("cpu")[0]
     cfg = KCycleConfig(n_refine=2, coarse_dof=8, nullvec_tol=5e-4,
-                       nullvec_max_iter=200)
+                       nullvec_max_iter=200, coarsest_direct=direct)
     with jax.default_device(cpu):
         gauge = jnp.asarray(u1.gauss_gauge_u1(lat, rng, 6.0),
                             dtype=jnp.complex64)
@@ -197,6 +198,25 @@ def main():
 
     report("restrict+prolong", mk_xfer, (nvb_p, vc[0]), (nvb_p, vcN[0]))
 
+    # --- direct (dense-inverse) coarsest apply, if built ----------------
+    if "cdinv" in state:
+        cd_p = state["cdinv"]
+
+        def mk_cd(k):
+            def cd(cd_p, v_p):
+                dinv = from_planes(cd_p)
+                v = from_planes(v_p)
+                shape = v.shape
+
+                def body(_, v):
+                    out = (dinv @ v.reshape(-1)).reshape(shape)
+                    return out / jnp.float32(8.0)
+                return to_planes(lax.fori_loop(0, k, body, v))
+            return cd
+
+        report("cdinv dense apply", mk_cd, (cd_p, vc[-1]),
+               (cd_p, vcN[-1]), k1=3 * K)
+
     # --- full outer FGCR iterations (K-cycle precond included):
     # marginal = t(fixed 4) - t(fixed 2), per 2 outers. This is the
     # composition measurement the per-stage rows can't see (direction
@@ -206,8 +226,12 @@ def main():
                                    restart_freq=32, fixed_outer_iters=k)
         return sp
 
-    report("outer FGCR x2", mk_outer, (state, b1), (state, bN), k1=2)
-    print("[probe] outer row marginal = 2 steady outer iterations "
+    # k1=8 (8 vs 16 fixed outers): the tunnel's per-dispatch noise is
+    # +-10-25 ms even under min-of-reps, so 2-outer marginals are mush
+    # on the single side; 8-outer marginals put the single-side signal
+    # near ~100 ms.
+    report("outer FGCR x8", mk_outer, (state, b1), (state, bN), k1=8)
+    print("[probe] outer row marginal = 8 steady outer iterations "
           "incl. K-cycle precond (overhead-free)", flush=True)
 
 
