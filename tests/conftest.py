@@ -10,8 +10,17 @@ import os
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+    flags = (flags + " --xla_force_host_platform_device_count=8").strip()
+if "collective_call_terminate_timeout" not in flags:
+    # The 8 virtual devices are in-process threads sharing this host's
+    # (often single) core; XLA's collective rendezvous watchdog aborts
+    # the PROCESS when participants don't all arrive within 40 s, which
+    # a big compile or a competing process can trigger at large lattices
+    # (observed: fatal collective-permute rendezvous at 4096^2). Warn
+    # late, terminate much later - correctness never depends on it.
+    flags += (" --xla_cpu_collective_call_warn_stuck_timeout_seconds=300"
+              " --xla_cpu_collective_call_terminate_timeout_seconds=1200")
+os.environ["XLA_FLAGS"] = flags
 
 import jax
 
