@@ -99,9 +99,9 @@ def main(argv=None):
                         "inside one program (each rhs perturbed by the "
                         "previous solution) - removes the per-dispatch "
                         "tunnel overhead that dominates one-solve-per-"
-                        "dispatch timings (PERF.md 'Batched multi-RHS "
-                        "ROOT-CAUSED'); the JSON metric then reports the "
-                        "marginal per-rhs ms")
+                        "dispatch timings (PERF.md 'Batched steady-state "
+                        "numbers RETRACTED'); the JSON metric then reports "
+                        "the marginal per-rhs ms")
     p.add_argument("--hbm-roofline-gbs", type=float, default=819.0,
                    help="TPU v5e HBM bandwidth")
     args = p.parse_args(argv)

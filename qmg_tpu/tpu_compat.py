@@ -411,10 +411,13 @@ def make_fixed_batched_planes_solver(mg, outer_iters: int,
     """Fixed-schedule batched multi-RHS solver: like
     make_batched_planes_solver, but the OUTER FGCR runs exactly
     ``outer_iters`` trips - removing the outer while_loop's per-lane
-    masking, which is where the batched regression lives (the outer
-    carries include the (R, n) direction stores, and masked-selecting
-    those every iteration measured 4.13x per rhs vs 0.76x with the
-    fixed outer - PERF.md "Batched multi-RHS ROOT-CAUSED").
+    masking over the (R, n) direction-store carries. NOTE on measured
+    value: under properly-synced timing (PERF.md "Batched steady-state
+    numbers RETRACTED"), neither this mode nor the masked one has yet
+    beaten sequential per-rhs dispatches on the TPU at 256^2/nrhs 8;
+    the regression is isolated to the batched solver composition and
+    remains a round-5 perf item. The per-lane-exact semantics and the
+    single-dispatch amortization (one program for all sources) stand.
 
     By default the INNER schedule must also be trip-counted (build the
     hierarchy with KCycleConfig(inner_fixed_iters=...) and a direct
@@ -423,7 +426,7 @@ def make_fixed_batched_planes_solver(mg, outer_iters: int,
     inner K-cycle loops instead: their masked carries are small
     coarse-level fields, measured cheap under vmap, and the adaptive
     inner typically does LESS work than a conservatively calibrated
-    fixed inner count (the probe's 0.76x configuration).
+    fixed inner count.
 
     Calibrate ``outer_iters`` from one adaptive solve (the returned
     res_sq reports the achieved residual so under-shooting is visible).
