@@ -87,7 +87,8 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        coarse_apply: str = "jnp",
                        outer_type=None,
                        mesh=None,
-                       fixed_outer_iters=None):
+                       fixed_outer_iters=None,
+                       precond_mode: str = "mg"):
     """Returns (solve_planes, state) where solve_planes(state, b_planes)
     -> (x_planes, iters, res_sq) is fully real at the jit boundary.
 
@@ -136,6 +137,9 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
     from . import solvers
     from .stencil import StencilType
 
+    if precond_mode not in ("mg", "none"):
+        raise ValueError(f"unknown precond_mode {precond_mode!r} "
+                         "(expected 'mg' or 'none')")
     state = mg_state_planes(mg)
     n_levels = mg.get_num_levels()
     sharded_pallas = False
@@ -340,7 +344,15 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                                 v.dtype))
             elif coarse_apply != "jnp":
                 raise ValueError(f"unknown coarse_apply {coarse_apply!r}")
-            precond = mg.make_preconditioner(0)
+            # precond_mode="none" replaces the K-cycle with the identity
+            # (plain restarted GCR on the fine operator). Diagnostic knob
+            # for the batched-regression isolation probes (PERF.md): it
+            # separates the outer FGCR direction-store composition from
+            # the preconditioner's inner loops under vmap.
+            if precond_mode == "none":
+                precond = lambda r, carry: (r, carry)
+            else:
+                precond = mg.make_preconditioner(0)
             carry = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
                      "iters": jnp.zeros((n_levels,), jnp.int32)}
             rhs = (b if otype == StencilType.ORIGINAL
