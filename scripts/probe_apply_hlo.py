@@ -162,19 +162,93 @@ def main():
             return out / jnp.float32(8.0)
         return to_planes(lax.fori_loop(0, K, body, vb))
 
+    # --- elementwise batch -------------------------------------------------
+    # Hypothesis (census above): under vmap XLA re-lowers the batched
+    # site-matvec einsum as CONVOLUTIONS, which blocks the roll/select ->
+    # matvec fusion the single program gets and materializes ~472 MiB of
+    # temps. This variant writes the site matvec as broadcast
+    # multiply-add over the tiny nc axis - no dot/einsum for XLA to
+    # pattern-match - accumulating per-direction terms.
+    def elementwise_stage(cl_p, hp_p, sh_p, v_p):
+        coeffs = coeffs_of(cl_p, hp_p, sh_p)
+        vb = from_planes(v_p)  # (b, 2, Y, Xh, nc)
+
+        def matvec(m, v):
+            # m: (2, Y, Xh, i, j); v: (b, 2, Y, Xh, j) -> (b, 2, Y, Xh, i)
+            return jnp.sum(m[None] * v[:, ..., None, :], axis=-1)
+
+        def body(_, vb):
+            out = matvec(coeffs.clover, vb)
+            for d in ALL_DIRS:
+                pulled = jax.vmap(lambda v: cshift_pull(v, d))(vb)
+                out = out + matvec(coeffs.hopping[d], pulled)
+            out = out + jax.vmap(lambda v: apply_shift(coeffs, v))(vb)
+            return out / jnp.float32(8.0)
+        return to_planes(lax.fori_loop(0, K, body, vb))
+
     jobs = [("single", single_stage, (cl_p, hp_p, sh_p, v1)),
             (f"vmap x{nrhs}", vmapped, (cl_p, hp_p, sh_p, vN)),
-            (f"explicit x{nrhs}", explicit_stage, (cl_p, hp_p, sh_p, vN))]
+            (f"explicit x{nrhs}", explicit_stage, (cl_p, hp_p, sh_p, vN)),
+            (f"eltwise x{nrhs}", elementwise_stage, (cl_p, hp_p, sh_p, vN))]
     compiled = []
     for label, fn, args in jobs:
         f = jax.jit(scalarize(fn))
         c = f.lower(*args).compile()
         census(label, c)
         compiled.append((label, f, args))
+    # Marginal protocol (PERF.md "isolation matrix"): absolute times on
+    # the axon tunnel are dispatch-dominated and variable; time the K and
+    # 2K chains and report (t(2K)-t(K))/K as device ms/apply.
     for label, f, args in compiled:
         t = bench(f, args)
-        print(f"[{label}] best {t*1e3:8.2f} ms "
-              f"({t*1e3/K:7.3f} ms/apply)", flush=True)
+        print(f"[{label}] abs  {t*1e3:8.2f} ms "
+              f"({t*1e3/K:7.3f} ms/apply incl dispatch)", flush=True)
+    print("[marginal protocol: K vs 2K]", flush=True)
+    K2 = 2 * K
+
+    def mk_single(kk):
+        def s(cl_p, hp_p, sh_p, v_p):
+            coeffs = coeffs_of(cl_p, hp_p, sh_p)
+            v = from_planes(v_p)
+            return to_planes(lax.fori_loop(
+                0, kk, lambda _, v: apply_M(coeffs, v) / jnp.float32(8.0),
+                v))
+        return s
+
+    def mk_eltwise(kk):
+        def s(cl_p, hp_p, sh_p, v_p):
+            coeffs = coeffs_of(cl_p, hp_p, sh_p)
+            vb = from_planes(v_p)
+
+            def matvec(m, v):
+                return jnp.sum(m[None] * v[:, ..., None, :], axis=-1)
+
+            def body(_, vb):
+                out = matvec(coeffs.clover, vb)
+                for d in ALL_DIRS:
+                    pulled = jax.vmap(lambda v: cshift_pull(v, d))(vb)
+                    out = out + matvec(coeffs.hopping[d], pulled)
+                out = out + jax.vmap(lambda v: apply_shift(coeffs, v))(vb)
+                return out / jnp.float32(8.0)
+            return to_planes(lax.fori_loop(0, kk, body, vb))
+        return s
+
+    marg_jobs = [
+        ("single", mk_single, (cl_p, hp_p, sh_p, v1), 1),
+        (f"vmap x{nrhs}",
+         lambda kk: jax.vmap(mk_single(kk), in_axes=(None, None, None, 0)),
+         (cl_p, hp_p, sh_p, vN), nrhs),
+        (f"eltwise x{nrhs}", mk_eltwise, (cl_p, hp_p, sh_p, vN), nrhs),
+    ]
+    for label, mk, args, b in marg_jobs:
+        fA = jax.jit(scalarize(mk(K)))
+        fB = jax.jit(scalarize(mk(K2)))
+        tA = bench(fA, args)
+        tB = bench(fB, args)
+        marg = (tB - tA) / K
+        print(f"[{label}] marginal {marg*1e3:7.3f} ms/apply "
+              f"({marg*1e3/b:7.4f} ms/rhs/apply)  "
+              f"[tK={tA*1e3:.1f} t2K={tB*1e3:.1f}]", flush=True)
 
 
 if __name__ == "__main__":
