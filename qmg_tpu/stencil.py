@@ -206,7 +206,7 @@ def apply_hopping_half(coeffs: StencilCoeffs, x_half, src_parity: int,
     # matters on the latency-bound coarse levels.
     pulled = jnp.stack([cshift_pull_half(x_half, src_parity, d)
                         for d in ALL_DIRS])
-    return jnp.einsum("s...ij,s...j->...i", coeffs.hopping[:, dest], pulled)
+    return linalg.stacked_site_matvec(coeffs.hopping[:, dest], pulled)
 
 
 def _apply_pulled_terms(mats, dirs, x, direction: Optional[int] = None):
@@ -293,7 +293,7 @@ def apply_M(coeffs: StencilCoeffs, x):
             nbrs += [cshift_pull(x, d) for d in CORNER_DIRS]
             mats.append(coeffs.corner)
         mats = mats[0] if len(mats) == 1 else jnp.concatenate(mats)
-        out = jnp.einsum("s...ij,s...j->...i", mats, jnp.stack(nbrs))
+        out = linalg.stacked_site_matvec(mats, jnp.stack(nbrs))
         return out + apply_shift(coeffs, x)
     out = apply_clover(coeffs, x)
     out = out + apply_hopping(coeffs, x)
@@ -336,7 +336,7 @@ def build_gather_apply(coeffs: StencilCoeffs):
         mats = jnp.concatenate([coeffs.clover[None], coeffs.hopping])
         mats = mats.reshape(5, lat.volume, nc, nc)
         xg = x.reshape(lat.volume, nc)[nbr_idx]          # (5, vol, nc)
-        out = jnp.einsum("svij,svj->vi", mats, xg).reshape(x.shape)
+        out = linalg.stacked_site_matvec(mats, xg).reshape(x.shape)
         return out + apply_shift(coeffs, x)
 
     return apply_fn
