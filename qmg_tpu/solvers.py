@@ -22,6 +22,8 @@ coarse_tol * rnorm/rnorm_prep rescale) are traced scalars.
 
 from __future__ import annotations
 
+import dataclasses
+import enum
 from typing import NamedTuple
 
 import numpy as np
@@ -40,10 +42,46 @@ from .linalg import vdot, norm2sq
 GCR_STORE_LIMIT_BYTES = 8 * 1024 ** 3
 
 __all__ = [
-    "SolveResult", "cg", "cg_restart", "gcr", "gcr_restart", "bicgstab",
-    "bicgstab_l", "minres", "richardson", "tfqmr", "gcr_var_precond",
-    "gcr_var_precond_restart",
+    "SolveResult", "Verbosity", "VerboseMG", "cg", "cg_restart", "gcr",
+    "gcr_restart", "bicgstab", "bicgstab_l", "minres", "richardson",
+    "tfqmr", "gcr_var_precond", "gcr_var_precond_restart",
 ]
+
+
+class Verbosity(enum.IntEnum):
+    """Print levels of quantum-linalg's inversion_verbose_struct
+    (reconstructed from the reference's use at
+    multigrid/stateful_multigrid.h:761-776): NONE prints nothing,
+    SUMMARY prints one line per completed inversion (iterations + final
+    relative residual), DETAIL additionally prints every iteration's
+    residual."""
+    NONE = 0
+    SUMMARY = 1
+    DETAIL = 2
+
+
+@dataclasses.dataclass
+class VerboseMG:
+    """inversion_verbose_struct analog: this solve's own print level,
+    an independent level for its preconditioner's solves, and the line
+    prefix (the reference indents two spaces per MG level and tags
+    '[QMG-MG-SOLVE-INFO]: Level N')."""
+    verbosity: Verbosity = Verbosity.NONE
+    precond_verbosity: Verbosity = Verbosity.NONE
+    prefix: str = ""
+
+
+def _as_verbose(verbose) -> VerboseMG:
+    """Back-compat coercion: None/False -> NONE; a bare prefix string ->
+    DETAIL with that prefix (the pre-round-5 solver convention); True ->
+    DETAIL; VerboseMG passes through."""
+    if isinstance(verbose, VerboseMG):
+        return verbose
+    if verbose is None or verbose is False:
+        return VerboseMG()
+    if verbose is True:
+        return VerboseMG(Verbosity.DETAIL, Verbosity.DETAIL)
+    return VerboseMG(Verbosity.DETAIL, Verbosity.NONE, str(verbose))
 
 
 class SolveResult(NamedTuple):
@@ -69,11 +107,22 @@ def _i32(v):
 # ---------------------------------------------------------------------------
 
 def _verbose_print(verbose, k, rsq, bsq):
-    """Per-iteration residual print (quantum-linalg
+    """Per-iteration residual print at DETAIL level (quantum-linalg
     inversion_verbose_struct analog); works inside jit via debug.print."""
-    if verbose:
-        jax.debug.print(verbose + "iter {k} relres {r:.6e}", k=k,
+    v = _as_verbose(verbose)
+    if v.verbosity >= Verbosity.DETAIL:
+        jax.debug.print(v.prefix + "iter {k} relres {r:.6e}", k=k,
                         r=jnp.sqrt(rsq / bsq))
+
+
+def _verbose_summary(verbose, name, iters, rsq, bsq):
+    """One line per completed inversion at SUMMARY level (the reference's
+    VERB_SUMMARY: algorithm, iteration count, final relative residual)."""
+    v = _as_verbose(verbose)
+    if v.verbosity >= Verbosity.SUMMARY:
+        jax.debug.print(
+            v.prefix + name + " summary: {k} iters, relres {r:.6e}",
+            k=iters, r=jnp.sqrt(rsq / bsq))
 
 
 def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
@@ -106,6 +155,7 @@ def cg(matvec, b, x0=None, max_iter: int = 1000, tol=1e-8,
 
     x, r, p, rsq, k = jax.lax.while_loop(
         cond, body, (x0, r0, p0, norm2sq(r0), _i32(0)))
+    _verbose_summary(verbose, "cg", k, rsq, bsq)
     return SolveResult(x, k, rsq, rsq <= target, k + 1)
 
 
@@ -245,6 +295,7 @@ def _gcr_impl(matvec, b, x0, max_iter: int, tol, restart_len: int,
               _i32(1), precond_carry)
     out = jax.lax.while_loop(cond, body, state0)
     x, r, rsq, ps, aps, apsq, j, k, ops, carry = out
+    _verbose_summary(verbose, "gcr", k, rsq, bsq)
     return SolveResult(x, k, rsq, rsq <= target, ops), carry
 
 

@@ -299,13 +299,17 @@ class StatefulMultigridMG(MultigridMG):
         st = self.get_stencil(level)
         return lambda x: st.apply_M(x, stype)
 
-    def make_preconditioner(self, level: int = 0, verbose: bool = False):
+    def make_preconditioner(self, level: int = 0, verbose=False):
         """Returns precond(rhs, carry) -> (lhs, carry), a pure traced
         function implementing one K-cycle at ``level``.
 
-        ``verbose`` prints per-iteration residuals of the inner Krylov
-        solves with the reference's indentation scheme
-        ("[QMG-MG-SOLVE-INFO]: Level N", stateful_multigrid.h:761-776),
+        ``verbose`` takes a bool (back-compat: True = DETAIL prints at
+        every level, the pre-round-5 behavior) or a solvers.VerboseMG.
+        The inner-solve struct follows the reference's composition
+        (stateful_multigrid.h:761-776): the coarse solve prints at the
+        caller's precond_verbosity (at least SUMMARY when the caller is
+        verbose at all), deeper levels print SUMMARY, all with the
+        two-spaces-per-level '[QMG-MG-SOLVE-INFO]: Level N ' prefix,
         via jax.debug.print so it works inside jit."""
         n_levels = self.get_num_levels()
         if n_levels == 1:
@@ -337,9 +341,20 @@ class StatefulMultigridMG(MultigridMG):
             coarse_fixed = False
         apply_coarse = self._apply_level(level + 1, coarse_type)
         coarsest_normal = coarse_type in _NORMAL_TYPES
-        vprefix = ("  " * (level + 1)
-                   + f"[QMG-MG-SOLVE-INFO]: Level {level + 1} "
-                   if verbose else None)
+        # Inner-solve verbosity struct (reference verb2 construction,
+        # stateful_multigrid.h:761-776).
+        from .solvers import VerboseMG, Verbosity, _as_verbose
+        v = _as_verbose(verbose)
+        prefix = ("  " * (level + 1)
+                  + f"[QMG-MG-SOLVE-INFO]: Level {level + 1} ")
+        if (v.verbosity == Verbosity.NONE
+                and v.precond_verbosity == Verbosity.NONE):
+            vprefix = None
+        else:
+            lvl_v = max(v.precond_verbosity, Verbosity.SUMMARY)
+            vprefix = VerboseMG(lvl_v,
+                                lvl_v if lvl_v >= Verbosity.DETAIL
+                                else Verbosity.SUMMARY, prefix)
 
         def smoother(rhs, n_iters, s_tol, use_cgne, dslash_type, carry):
             """Pre/post smoother: MinRes(relax 0.85), or MinRes on M M^dag
@@ -441,9 +456,11 @@ class StatefulMultigridMG(MultigridMG):
                 e_coarse = res.x
                 sub_iters, sub_ops = res.iters, res.ops_count
             else:
-                # K-cycle recursion (reference :973-995).
+                # K-cycle recursion (reference :973-995). The deeper
+                # preconditioner sees the INNER solve's struct, so its
+                # levels print at its precond_verbosity.
                 inner_precond = self.make_preconditioner(level + 1,
-                                                         verbose=verbose)
+                                                         verbose=vprefix)
                 if coarse_restart == -1:
                     res, carry = solvers.gcr_var_precond(
                         apply_coarse, r_coarse_prep, inner_precond,
@@ -515,15 +532,21 @@ class StatefulMultigridMG(MultigridMG):
             state_vs += [st.version, complex(st.coeffs.shift)]
         for lvl in range(n_levels - 1):
             state_vs.append(self.get_transfer(lvl).version)
+        from .solvers import VerboseMG, _as_verbose
+        v = _as_verbose(verbose)
         key = (tuple(state_vs), b.shape, str(b.dtype), float(tol),
                int(max_iter), int(restart_freq), int(outer_type),
-               self._aux_version, bool(verbose))
+               self._aux_version,
+               (int(v.verbosity), int(v.precond_verbosity), v.prefix))
 
         run = self._solve_cache.get(key) if jit else None
         if run is None:
             matvec = self._apply_level(0, StencilType(outer_type))
-            precond = self.make_preconditioner(0, verbose=verbose)
-            vprefix = "[QMG-MG-SOLVE-INFO]: Level 0 " if verbose else None
+            precond = self.make_preconditioner(0, verbose=v)
+            vprefix = (VerboseMG(v.verbosity, v.precond_verbosity,
+                                 v.prefix or "[QMG-MG-SOLVE-INFO]: "
+                                             "Level 0 ")
+                       if v.verbosity else None)
 
             def run(b, x0):
                 carry = _zero_carry(n_levels)

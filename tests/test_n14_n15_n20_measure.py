@@ -86,3 +86,26 @@ def test_staggered_pion_wall_source(gauge16):
     meff = measure.effective_mass_cosh(corr)[2:L // 2]
     finite = meff[np.isfinite(meff)]
     assert len(finite) > 0 and np.all(finite > 0) and np.all(finite < 3.0)
+
+
+def test_wall_source_overloads():
+    """Both reference overloads (reductions.h:90-162): identical normal
+    stream, real vs complex storage, zero imaginary part, support only on
+    the requested (timeslice, color) wall."""
+    from qmg_tpu.reductions import (gaussian_wall_source_real,
+                                    gaussian_wall_source_complex)
+    lat = Lattice2D(L, L, 2)
+    src_c = gaussian_wall_source_complex(lat, 3, 1, QMGRandom(42),
+                                         deviation=2.0, mean=0.5)
+    src_r = gaussian_wall_source_real(lat, 3, 1, QMGRandom(42),
+                                      deviation=2.0, mean=0.5)
+    assert src_c.dtype == np.complex128 and src_r.dtype == np.float64
+    assert np.all(src_c.imag == 0.0)
+    np.testing.assert_array_equal(src_c.real, src_r)
+    # Support: only y=3, c=1 is populated, and it is actually random.
+    mask = np.zeros(lat.cv_shape(), dtype=bool)
+    mask[:, 3, :, 1] = True
+    assert np.all(src_r[~mask] == 0.0)
+    wall = src_r[mask]
+    assert np.count_nonzero(wall) == wall.size
+    assert abs(np.mean(wall) - 0.5) < 1.0  # loose: mean shift applied
