@@ -63,6 +63,8 @@ def census(L):
     for label, schur in (("standard", False), ("schur", True)):
         lat, rng, mg, outer_type = build(L, schur)
         b = rng.gaussian_cv(lat)
+        if schur:
+            b = mg.get_stencil(0).prepare_M(b, outer_type)
         for tr in mg.dslash_tracker_list:
             tr.reset_tracker()
         res = mg.solve(b, tol=1e-5, max_iter=200, restart_freq=32,
@@ -128,11 +130,16 @@ def time_applies(L, K=64):
 def main():
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     L = int(args[0]) if args else 128
+    import jax
     if "--time" in sys.argv:
-        import jax
+        # Timing runs on the ambient backend (TPU under axon).
         print(f"[probe] backend {jax.default_backend()}, L={L}")
         time_applies(L)
     else:
+        # Op-count census is platform-independent; CPU fp64 (the
+        # sitecustomize pre-registers axon, so override via config).
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_enable_x64", True)
         census(L)
 
 
