@@ -497,6 +497,80 @@ def apply_rbj_schur(rbj: RBJacobiSet, x_even):
     return x_even - t_even
 
 
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["clover", "twolink", "corner"], meta_fields=[])
+@dataclasses.dataclass
+class SchurFused:
+    """Precomposed even-sublattice coefficients of the rbj Schur
+    complement S = 1 - D_eo D_oe (D_ee = D_oo = 1 in the rbjacobi
+    basis, reference :1886-1908).
+
+    Composing the two half-hopping products ONCE turns every Schur
+    application into a single 9-point stencil on the even half - one
+    stacked einsum + 8 half-lattice pulls - instead of two dependent
+    4-term half-applies (2 einsums + 8 pulls, twice the latency chain).
+    Measured ~8x per K-cycle iteration on TPU before this fusion
+    (PERF.md round 4, "n19 Schur formulation"): the coefficients are
+    loop-invariant, so XLA hoists the composition out of the Krylov
+    loops and each apply matches the standard fused apply_M's shape.
+
+    Shapes (even half): clover (Y, Xh, nc, nc); twolink
+    (4, Y, Xh, nc, nc) over {+2X,+2Y,-2X,-2Y}; corner likewise over
+    {+X+Y,-X+Y,-X-Y,+X-Y} (slot orders as stencil_2d.h:28-39).
+    """
+    clover: jax.Array
+    twolink: jax.Array
+    corner: jax.Array
+
+
+# (d2, d1) hopping-slot pairs contributing to each composed offset,
+# d2 = the eo (second) hop, d1 = the oe (first) hop; slots {+x,+y,-x,-y}.
+_SCHUR_ZERO_PAIRS = tuple((d2, _OPPOSITE_SLOT[d2]) for d2 in range(4))
+_SCHUR_TWOLINK_PAIRS = (((0, 0),), ((1, 1),), ((2, 2),), ((3, 3),))
+_SCHUR_CORNER_PAIRS = (((0, 1), (1, 0)), ((2, 1), (1, 2)),
+                       ((2, 3), (3, 2)), ((0, 3), (3, 0)))
+
+
+def build_rbj_schur_fused(rbj: RBJacobiSet) -> SchurFused:
+    """Compose S = 1 - D_eo D_oe into even-half 9-point coefficients.
+
+    (D_eo D_oe x)(s_e) = sum_{d2,d1} H[d2,even](s_e) H[d1,odd](s_e+d2)
+    x(s_e+d2+d1); grouping path pairs by total offset gives a diagonal
+    piece (d1 = -d2), four distance-2 pieces and four corner pieces -
+    exactly the twolink/corner stencil families, on the even half.
+    """
+    if not rbj.coeffs.is_distance1():
+        raise ValueError("eo-Schur requires a distance-1 stencil")
+    H = rbj.coeffs.hopping  # (4, 2, Y, Xh, nc, nc)
+    Heo = H[:, 0]           # even-destination rows
+    # pulled[d2][d1]: H[d1, odd] at odd site s_e + d2, even-aligned.
+    pulled = [[cshift_pull_half(H[d1, 1], 1, ALL_DIRS[d2])
+               for d1 in range(4)] for d2 in range(4)]
+
+    def compose(pairs):
+        out = None
+        for d2, d1 in pairs:
+            term = linalg.site_matmul(Heo[d2], pulled[d2][d1])
+            out = term if out is None else out + term
+        return out
+
+    eye = linalg.identity_like(Heo[0])
+    clover = eye - compose(_SCHUR_ZERO_PAIRS)
+    twolink = jnp.stack([-compose(p) for p in _SCHUR_TWOLINK_PAIRS])
+    corner = jnp.stack([-compose(p) for p in _SCHUR_CORNER_PAIRS])
+    return SchurFused(clover=clover, twolink=twolink, corner=corner)
+
+
+def apply_rbj_schur_fused(fused: SchurFused, x_even):
+    """S x_e as ONE stacked einsum over the 9 composed terms."""
+    nbrs = [x_even]
+    nbrs += [cshift_pull_half(x_even, 0, d) for d in TWOLINK_DIRS]
+    nbrs += [cshift_pull_half(x_even, 0, d) for d in CORNER_DIRS]
+    mats = jnp.concatenate([fused.clover[None], fused.twolink,
+                            fused.corner])
+    return linalg.stacked_site_matvec(mats, jnp.stack(nbrs))
+
+
 def prepare_rbj_schur(rbj: RBJacobiSet, b):
     """b_r = b_e - D_eo D_oo^{-1} b_o (reference :1912-1928)."""
     t_even = apply_hopping_half(rbj.coeffs, b[1], src_parity=1)
@@ -530,6 +604,7 @@ class Stencil2D:
         self._dagger: Optional[StencilCoeffs] = None
         self._rbjacobi: Optional[RBJacobiSet] = None
         self._rbj_dagger: Optional[RBJacobiSet] = None
+        self._rbj_schur_fused: Optional[SchurFused] = None
         self._version = next_state_version()
         # Optional fused-kernel replacement for the ORIGINAL apply
         # (set by e.g. the TPU planes solver to route the hot Dslash
@@ -623,6 +698,7 @@ class Stencil2D:
         self._dagger = None
         self._rbjacobi = None
         self._rbj_dagger = None
+        self._rbj_schur_fused = None
         self._version = next_state_version()
 
     # --- lazily built derived stencils ---
@@ -698,7 +774,13 @@ class Stencil2D:
         if t == StencilType.RIGHT_JACOBI:
             return apply_M(self.rbjacobi.coeffs, x)
         if t == StencilType.RIGHT_SCHUR:
-            return apply_rbj_schur(self.rbjacobi, x)
+            rbj = self.rbjacobi
+            if rbj.coeffs.hopping is None or self.lat.volume <= 1:
+                return apply_rbj_schur(rbj, x)
+            if self._rbj_schur_fused is None:
+                with _compile_time_eval_on_host():
+                    self._rbj_schur_fused = build_rbj_schur_fused(rbj)
+            return apply_rbj_schur_fused(self._rbj_schur_fused, x)
         if t == StencilType.M_MDAGGER:
             return apply_M(self.coeffs, apply_M(self.dagger_coeffs, x))
         if t == StencilType.MDAGGER_M:

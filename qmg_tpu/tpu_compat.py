@@ -231,7 +231,7 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
         for lvl in range(n_levels):
             st = mg.get_stencil(lvl)
             saved.append((st, st.coeffs, st._dagger, st._rbjacobi,
-                          st._rbj_dagger))
+                          st._rbj_dagger, st._rbj_schur_fused))
             kw = {}
             if f"clover{lvl}" in state:
                 kw["clover"] = from_planes(state[f"clover{lvl}"])
@@ -375,9 +375,10 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             return (to_planes(x), res.iters,
                     jnp.real(res.res_sq).astype(jnp.float32))
         finally:
-            for (st, coeffs, dag, rbj, rbjd) in saved:
+            for (st, coeffs, dag, rbj, rbjd, rbjsf) in saved:
                 st.coeffs = coeffs
                 st._dagger, st._rbjacobi, st._rbj_dagger = dag, rbj, rbjd
+                st._rbj_schur_fused = rbjsf
                 st.apply_override = None
             for (t, nvb) in saved_nvb:
                 t._nvb = nvb

@@ -153,3 +153,43 @@ def test_coarse_nc8_rbjacobi_qr_inverse():
     got = coarse.apply_M(xc, StencilType.RIGHT_JACOBI)
     expect = coarse.apply_M(linalg.site_matvec(rbj.cinv, xc))
     assert float(jnp.max(jnp.abs(got - expect))) < 1e-10
+
+
+def test_schur_fused_apply_matches_sequential():
+    """The precomposed 9-point Schur apply (build_rbj_schur_fused) is
+    exactly the sequential two-half-hopping apply (apply_rbj_schur), on
+    both the fine Wilson rbjacobi and an nc=8 Galerkin coarse rbjacobi."""
+    from qmg_tpu.stencil import (apply_rbj_schur, build_rbj_schur_fused,
+                                 apply_rbj_schur_fused)
+    lat0 = Lattice2D(L, L, 2)
+    rng = QMGRandom(1337)
+    g = u1.gauss_gauge_u1(lat0, rng, beta=6.0)
+    op = Wilson2D(lat0, -0.05, g)
+    cfg = KCycleConfig(
+        n_refine=1, coarse_dof=8,
+        fine_stencil_app=StencilType.RIGHT_SCHUR,
+        coarsest_stencil_app=StencilType.RIGHT_SCHUR,
+        nullvec_stype=StencilType.RIGHT_JACOBI,
+        nullvec_solver="gcr_restart",
+        precond_coarsen_rbjacobi=True,
+        build_extra=CoarseOperator2D.BUILD_RBJACOBI)
+    mg = build_kcycle_hierarchy(lat0, op, cfg, rng)
+    for lvl in range(mg.get_num_levels()):
+        st = mg.get_stencil(lvl)
+        rbj = st.build_rbjacobi_stencil()
+        lat = st.lat
+        xr = np.random.default_rng(lvl).standard_normal(
+            (lat.y_len, lat.xh, lat.nc))
+        xi = np.random.default_rng(lvl + 9).standard_normal(
+            (lat.y_len, lat.xh, lat.nc))
+        x = jnp.asarray(xr + 1j * xi)
+        seq = apply_rbj_schur(rbj, x)
+        fused = build_rbj_schur_fused(rbj)
+        got = apply_rbj_schur_fused(fused, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(seq),
+                                   rtol=1e-11, atol=1e-11)
+        # And the dispatcher routes through the fused path.
+        via_dispatch = st.apply_M(x, StencilType.RIGHT_SCHUR)
+        np.testing.assert_allclose(np.asarray(via_dispatch),
+                                   np.asarray(seq), rtol=1e-11,
+                                   atol=1e-11)
