@@ -73,6 +73,12 @@ def main(argv=None):
                         "(the measured-best batched config, PERF.md); "
                         "'12,4' = trip-count every level "
                         "(make_fixed_batched_planes_solver)")
+    p.add_argument("--calibrated", action="store_true",
+                   help="kcycle --nrhs mode: auto-calibrate the fixed "
+                        "outer trip count from ONE masked probe solve "
+                        "(make_calibrated_batched_planes_solver) and "
+                        "assert the target tolerance is met without "
+                        ">1 decade overshoot")
     p.add_argument("--channels-first", default="auto",
                    choices=["auto", "on", "off"],
                    help="kcycle --setup device: run the setup stages in "
@@ -485,7 +491,22 @@ def bench_kcycle(args):
         if args.nrhs > 1:
             # Batched multi-RHS throughput mode (jnp fine apply; the
             # Pallas kernels are single-field).
-            if args.fixed_schedule:
+            if args.calibrated:
+                if args.fixed_schedule:
+                    raise SystemExit("--calibrated picks its own outer "
+                                     "trip count; drop --fixed-schedule")
+                from qmg_tpu.tpu_compat import (
+                    make_calibrated_batched_planes_solver)
+                probe_b = host_to_planes(rng.gaussian_cv(lat))
+                solve_planes, state, outer_cal = (
+                    make_calibrated_batched_planes_solver(
+                        mg, probe_b, tol=tol, max_iter=200,
+                        restart_freq=restart,
+                        coarse_apply=("jnp" if args.coarse_apply == "auto"
+                                      else args.coarse_apply)))
+                print(f"# calibrated fixed outer trips: {outer_cal}",
+                      file=sys.stderr)
+            elif args.fixed_schedule:
                 from qmg_tpu.tpu_compat import (
                     make_fixed_batched_planes_solver)
                 parts = [int(p) for p in args.fixed_schedule.split(",")]
@@ -583,6 +604,23 @@ def bench_kcycle(args):
               f"target {tol}) in "
               f"{dt*1e3:.1f} ms total = {dt*1e3/args.nrhs:.1f} ms/rhs "
               f"on {jax.devices()[0].device_kind}", file=sys.stderr)
+        if args.calibrated:
+            # Calibration contract: every rhs meets the tolerance and
+            # none overshoots it by more than a decade in residual norm
+            # (res_sq is ||r||^2, target tol^2 * ||b||^2 per rhs).
+            bsq = np.sum(np.abs(np.asarray(b_p)) ** 2,
+                         axis=tuple(range(1, np.asarray(b_p).ndim)))
+            rsq = np.asarray(res_sq, np.float64)
+            rel = rsq / (tol ** 2 * bsq)
+            assert np.max(rel) <= 1.0, (
+                f"calibrated schedule MISSED tolerance: worst "
+                f"rel res_sq {np.max(rel):.2f}x target")
+            assert np.max(rel) >= 1e-2, (
+                f"calibrated schedule overshoots >1 decade: best "
+                f"rel res_sq {np.max(rel):.2e}x target")
+            print(f"# calibrated: rel res_sq in "
+                  f"[{np.min(rel):.3f}, {np.max(rel):.3f}] of target "
+                  "(met, <=1 decade overshoot)", file=sys.stderr)
         if args.chain > 1:
             # Steady-state device cost: chain K solves inside one
             # program; the k=K minus k=1 marginal removes dispatch

@@ -464,6 +464,35 @@ def make_fixed_batched_planes_solver(mg, outer_iters: int,
     return jax.vmap(solve_planes, in_axes=(None, 0)), state
 
 
+def make_calibrated_batched_planes_solver(mg, probe_b_planes, margin: int = 1,
+                                          **solver_kw):
+    """Fixed-outer batched solver auto-calibrated by ONE masked probe
+    solve (VERDICT r4 item 4).
+
+    Runs the single-rhs masked (adaptive) solver once on
+    ``probe_b_planes`` - a representative rhs in planes layout - reads
+    its outer iteration count, and builds the fixed-outer batched
+    solver at ``iters + margin`` trips with the adaptive masked inner
+    (the measured-best fixed configuration; the flexible-GCR tolerance
+    contract keeps the reported res_sq honest, quantum-linalg
+    minv_vector_gcr_var_precond / reference stateful_multigrid.h:916).
+
+    Returns ``(solve, state, outer_iters)``. Callers should check the
+    returned per-rhs res_sq against the tolerance: statistically a
+    same-distribution rhs converges within +-1 outer of the probe, so
+    margin=1 meets the target without the >1-decade overshoot a
+    guessed schedule produces (PERF.md round 4, "12,4 OVERSHOOTS").
+    """
+    import numpy as _np
+    probe_solve, _ = make_planes_solver(mg, **solver_kw)
+    state = None  # reuse the state from the fixed build below
+    _, iters, _ = jax.jit(probe_solve)(mg_state_planes(mg), probe_b_planes)
+    outer = int(_np.asarray(jax.device_get(iters))) + int(margin)
+    solve, state = make_fixed_batched_planes_solver(
+        mg, outer, allow_masked_inner=True, **solver_kw)
+    return solve, state, outer
+
+
 def make_refined_planes_solver(mg, tol: float = 1e-10,
                                inner_tol: float = 1e-5,
                                max_iter: int = 400, restart_freq: int = 32,
