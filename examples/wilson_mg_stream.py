@@ -27,8 +27,16 @@ import numpy as np
 
 def run_stream(L=32, beta=6.0, mass=-0.06, n_configs=10, n_therm=1000,
                n_update=100, n_refine=2, coarse_dof=8, tol=2e-6,
-               seed=1337, verbose=True):
-    """Returns (pion_mean, pion_err, plaqs, iters_list)."""
+               seed=1337, verbose=True, batched=False):
+    """Returns (pion_mean, pion_err, plaqs, iters_list).
+
+    ``batched=True`` solves ALL sources of a configuration in ONE
+    batched device program (make_batched_planes_solver) - the TPU
+    throughput mode, measured 0.68x per rhs vs sequential dispatches
+    after the custom_vmap batching rules (PERF.md round 5). The
+    reference streams one solve per source
+    (wilson_kcycle_heatbath.cpp:468-499).
+    """
     import jax
     import jax.numpy as jnp
     from qmg_tpu.lattice import Lattice2D
@@ -36,7 +44,9 @@ def run_stream(L=32, beta=6.0, mass=-0.06, n_configs=10, n_therm=1000,
     from qmg_tpu.setup import KCycleConfig, build_kcycle_hierarchy
     from qmg_tpu.setup_planes import (make_kcycle_setup_planes,
                                       gauss_seed_planes)
-    from qmg_tpu.tpu_compat import make_planes_solver, host_to_planes
+    from qmg_tpu.tpu_compat import (make_planes_solver,
+                                    make_batched_planes_solver,
+                                    host_to_planes)
     from qmg_tpu import u1, measure
     from qmg_tpu.rng import QMGRandom
 
@@ -55,8 +65,12 @@ def run_stream(L=32, beta=6.0, mass=-0.06, n_configs=10, n_therm=1000,
         op_shape = Wilson2D(lat, mass, g0, dtype=jnp.complex64)
         mg = build_kcycle_hierarchy(lat, op_shape, cfg, QMGRandom(1),
                                     structure_only=True)
-        solve_planes, _ = make_planes_solver(mg, tol=tol, max_iter=200,
-                                             restart_freq=32)
+        if batched:
+            solve_planes, _ = make_batched_planes_solver(
+                mg, tol=tol, max_iter=200, restart_freq=32)
+        else:
+            solve_planes, _ = make_planes_solver(mg, tol=tol, max_iter=200,
+                                                 restart_freq=32)
     solve_jit = jax.jit(solve_planes)
     # Channels-first stages at sizes where the standard complex stages
     # hit the XLA layout pathology (PERF.md "2048^2 via channels-first").
@@ -87,17 +101,32 @@ def run_stream(L=32, beta=6.0, mass=-0.06, n_configs=10, n_therm=1000,
         state = setup_fn(host_to_planes(gauge), *seeds)
         pion = np.zeros(L)
         ok = True
-        for s in srcs:
-            xpl, iters, rsq = solve_jit(state, s)
-            it = int(iters)
+        if batched:
+            # ONE device program solves every source of this config.
+            X_p, iters_b, rsq = solve_jit(state, jnp.stack(srcs))
+            it = int(np.max(np.asarray(iters_b)))
             if it >= 200:
                 print(f"[QMG-WARNING]: config {icfg} MG solve hit "
                       "max_iter - skipping config")
                 ok = False
-                break
-            prop_sq = np.sum(np.asarray(xpl, dtype=np.float64) ** 2,
-                             axis=(0, 2, 3, 4))
-            pion += measure.fold_correlator(prop_sq)
+            else:
+                for k in range(len(srcs)):
+                    prop_sq = np.sum(
+                        np.asarray(X_p[k], dtype=np.float64) ** 2,
+                        axis=(0, 2, 3, 4))
+                    pion += measure.fold_correlator(prop_sq)
+        else:
+            for s in srcs:
+                xpl, iters, rsq = solve_jit(state, s)
+                it = int(iters)
+                if it >= 200:
+                    print(f"[QMG-WARNING]: config {icfg} MG solve hit "
+                          "max_iter - skipping config")
+                    ok = False
+                    break
+                prop_sq = np.sum(np.asarray(xpl, dtype=np.float64) ** 2,
+                                 axis=(0, 2, 3, 4))
+                pion += measure.fold_correlator(prop_sq)
         if not ok:
             continue
         pions.append(pion)
@@ -131,6 +160,9 @@ def main():
     p.add_argument("--tol", type=float, default=2e-6)
     p.add_argument("--cpu", action="store_true",
                    help="force CPU backend")
+    p.add_argument("--batched", action="store_true",
+                   help="solve all sources of a config in ONE batched "
+                        "device program (TPU throughput mode)")
     args = p.parse_args()
 
     import jax
@@ -142,7 +174,8 @@ def main():
     mean, err, plaqs, iters = run_stream(
         L=args.L, beta=args.beta, mass=args.mass,
         n_configs=args.n_configs, n_therm=args.n_therm,
-        n_update=args.n_update, n_refine=args.n_refine, tol=args.tol)
+        n_update=args.n_update, n_refine=args.n_refine, tol=args.tol,
+        batched=args.batched)
 
     from qmg_tpu import measure
     print(f"[QMG-MEAS]: mean plaquette {np.mean(plaqs):.6f} "

@@ -25,3 +25,15 @@ def test_mg_stream_two_configs():
     # Pion correlator: positive and decaying away from the source.
     assert np.all(mean[:8] > 0)
     assert mean[1] > mean[5]
+
+
+def test_mg_stream_batched_matches_sequential():
+    """The batched all-source solve produces the same physics as the
+    sequential stream (same rng path, same configs, same correlator)."""
+    from examples.wilson_mg_stream import run_stream
+    kw = dict(L=16, n_configs=2, n_therm=100, n_update=50, n_refine=1,
+              coarse_dof=4, tol=1e-6, verbose=False)
+    mean_s, _, plaqs_s, _ = run_stream(**kw)
+    mean_b, _, plaqs_b, _ = run_stream(batched=True, **kw)
+    np.testing.assert_allclose(plaqs_b, plaqs_s, rtol=1e-12)
+    np.testing.assert_allclose(mean_b, mean_s, rtol=1e-3)
