@@ -299,6 +299,33 @@ class StatefulMultigridMG(MultigridMG):
         st = self.get_stencil(level)
         return lambda x: st.apply_M(x, stype)
 
+    def prebuild_derived_stencils(self, outer_type=StencilType.ORIGINAL):
+        """Force every derived coefficient set the configured solve will
+        touch (dagger / rbjacobi / fused Schur, per level) to build NOW.
+
+        Call this at the top of a jit trace whose stencil coefficients
+        are traced values (tpu_compat planes solvers): the lazy builds
+        would otherwise first trigger inside a Krylov while_loop body
+        trace and be RECOMPUTED EVERY ITERATION (see
+        Stencil2D.prebuild_derived). No-op when already built.
+        """
+        n_levels = self.get_num_levels()
+        self.get_stencil(0).prebuild_derived(outer_type)
+        for lvl in range(n_levels - 1):
+            ls = self.get_level_solve(lvl)
+            st = self.get_stencil(lvl)
+            ft = StencilType(ls.fine_stencil_app)
+            st.prebuild_derived(ft)
+            if ls.pre_cgne or ls.post_cgne:
+                # CGNE smoother branch (reference :845-866).
+                if ft == StencilType.ORIGINAL:
+                    st.prebuild_derived(StencilType.M_MDAGGER)
+                elif ft == StencilType.RIGHT_JACOBI:
+                    st.prebuild_derived(StencilType.RBJ_M_MDAGGER)
+        cs = self.coarsest_solve
+        self.get_stencil(n_levels - 1).prebuild_derived(
+            StencilType(cs.coarsest_stencil_app))
+
     def make_preconditioner(self, level: int = 0, verbose=False):
         """Returns precond(rhs, carry) -> (lhs, carry), a pure traced
         function implementing one K-cycle at ``level``.

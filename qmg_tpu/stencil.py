@@ -762,6 +762,36 @@ class Stencil2D:
     def rbj_dagger(self) -> RBJacobiSet:
         return self.build_rbj_dagger_stencil()
 
+    def prebuild_derived(self, stype: StencilType):
+        """Materialize the lazy derived sets ``apply_M(x, stype)`` (and
+        its prepare/reconstruct pair) will need.
+
+        Order matters under jit with TRACED coefficients (the planes
+        solver patches decoded state in): if the first build triggered
+        inside a Krylov ``lax.while_loop`` body trace, the whole
+        QR / B^-1 / Schur-composition chain would be traced INTO the
+        loop body and recomputed EVERY iteration (measured: the n19
+        Schur 512^2 solve spent ~100 ms/outer rebuilding per-level
+        derived sets, ~9x the entire standard iteration). Calling this
+        at the top trace level caches the built arrays so loop bodies
+        close over them as loop constants.
+        """
+        t = StencilType(stype)
+        if t in (StencilType.DAGGER, StencilType.M_MDAGGER,
+                 StencilType.MDAGGER_M):
+            self.build_dagger_stencil()
+        elif t == StencilType.RIGHT_JACOBI:
+            self.build_rbjacobi_stencil()
+        elif t == StencilType.RIGHT_SCHUR:
+            rbj = self.build_rbjacobi_stencil()
+            if rbj.coeffs.hopping is not None and self.lat.volume > 1:
+                if self._rbj_schur_fused is None:
+                    with _compile_time_eval_on_host():
+                        self._rbj_schur_fused = build_rbj_schur_fused(rbj)
+        elif t in (StencilType.RBJ_DAGGER, StencilType.RBJ_M_MDAGGER,
+                   StencilType.RBJ_MDAGGER_M):
+            self.build_rbj_dagger_stencil()
+
     # --- uniform dispatch (reference :2418-2527) ---
     def apply_M(self, x, stype: StencilType = StencilType.ORIGINAL):
         t = StencilType(stype)

@@ -79,6 +79,70 @@ def mg_state_planes(mg, dtype=np.float32):
     return state
 
 
+def _derived_need(mg, outer_type):
+    """Map level -> {"rbj", "fused"} for the derived coefficient sets the
+    configured solve will apply (rbjacobi B^-1 / fused Schur composition).
+
+    These are the EXPENSIVE derived builds (batched QR inverses, stencil-
+    stencil composition); when the planes state ships them precomputed,
+    each solve call skips re-deriving them from the traced coefficients.
+    Measured (PERF.md round 5): the 512^2 n19 Schur solve spent 590 ms
+    per CALL on this re-derivation vs an 11 ms/outer Krylov marginal.
+    The cheap elementwise derived sets (dagger conjugations) stay lazy.
+    """
+    from .stencil import StencilType
+    need = {}
+
+    def add(lvl, t):
+        t = StencilType(t)
+        if t in (StencilType.RIGHT_JACOBI, StencilType.RBJ_DAGGER,
+                 StencilType.RBJ_M_MDAGGER, StencilType.RBJ_MDAGGER_M):
+            need.setdefault(lvl, set()).add("rbj")
+        elif t == StencilType.RIGHT_SCHUR:
+            need.setdefault(lvl, set()).update(("rbj", "fused"))
+
+    n_levels = mg.get_num_levels()
+    if outer_type is not None:
+        add(0, outer_type)
+    if hasattr(mg, "get_level_solve"):
+        for lvl in range(n_levels - 1):
+            add(lvl, mg.get_level_solve(lvl).fine_stencil_app)
+        add(n_levels - 1, mg.coarsest_solve.coarsest_stencil_app)
+    return need
+
+
+def derived_state_planes(mg, outer_type=None, dtype=np.float32):
+    """Planes dict of the precomputed derived sets ``_derived_need``
+    selects: per level ``rbjcinv{lvl}`` ((clover+mass)^-1),
+    ``rbjh{lvl}``/``rbjt{lvl}``/``rbjc{lvl}`` (rbjacobi hopping/twolink/
+    corner) and ``schurf{lvl}`` (the 9 composed even-half Schur
+    coefficient matrices, stacked). Built eagerly from the hierarchy's
+    concrete coefficients — call at state-construction time (per
+    configuration), NOT per solve."""
+    state = {}
+    for lvl, kinds in _derived_need(mg, outer_type).items():
+        st = mg.get_stencil(lvl)
+        rbj = st.build_rbjacobi_stencil()
+        state[f"rbjcinv{lvl}"] = host_to_planes(np.asarray(rbj.cinv), dtype)
+        for name, arr in (("rbjh", rbj.coeffs.hopping),
+                          ("rbjt", rbj.coeffs.twolink),
+                          ("rbjc", rbj.coeffs.corner)):
+            if arr is not None:
+                state[f"{name}{lvl}"] = host_to_planes(np.asarray(arr),
+                                                       dtype)
+        if ("fused" in kinds and rbj.coeffs.hopping is not None
+                and st.lat.volume > 1):
+            from .stencil import build_rbj_schur_fused
+            fused = st._rbj_schur_fused
+            if fused is None:
+                fused = build_rbj_schur_fused(rbj)
+            f9 = np.concatenate([np.asarray(fused.clover)[None],
+                                 np.asarray(fused.twolink),
+                                 np.asarray(fused.corner)])
+            state[f"schurf{lvl}"] = host_to_planes(f9, dtype)
+    return state
+
+
 def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        use_pallas_fine: bool = False, pallas_tile: int = 16,
                        pallas_interpret: bool = False,
@@ -141,6 +205,13 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
         raise ValueError(f"unknown precond_mode {precond_mode!r} "
                          "(expected 'mg' or 'none')")
     state = mg_state_planes(mg)
+    _need = _derived_need(mg, outer_type)
+    if _need:
+        # Ship the expensive derived sets (rbjacobi QR inverses, fused
+        # Schur composition) in the state, built ONCE here instead of
+        # re-derived from traced coefficients inside every solve call
+        # (measured 590 ms/call at 512^2 Schur, PERF.md round 5).
+        state.update(derived_state_planes(mg, outer_type))
     n_levels = mg.get_num_levels()
     sharded_pallas = False
     if mesh is not None:
@@ -245,6 +316,28 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             st.coeffs = st.coeffs.replace(
                 **kw, shift=sh[0], eo_shift=sh[1], dof_shift=sh[2])
             st.invalidate_derived()
+            if f"rbjcinv{lvl}" in state:
+                # Precomputed derived sets ride the state (see
+                # derived_state_planes): decode instead of re-deriving
+                # QR inverses / Schur compositions per solve call.
+                from .stencil import RBJacobiSet, SchurFused
+                from . import linalg as _linalg
+                cinv = from_planes(state[f"rbjcinv{lvl}"])
+                zero = jnp.zeros((), cinv.dtype)
+                kwr = dict(clover=_linalg.identity_like(cinv),
+                           hopping=None, twolink=None, corner=None,
+                           shift=zero, eo_shift=zero, dof_shift=zero)
+                for name, key in (("hopping", f"rbjh{lvl}"),
+                                  ("twolink", f"rbjt{lvl}"),
+                                  ("corner", f"rbjc{lvl}")):
+                    if key in state:
+                        kwr[name] = from_planes(state[key])
+                st._rbjacobi = RBJacobiSet(
+                    coeffs=st.coeffs.replace(**kwr), cinv=cinv)
+                if f"schurf{lvl}" in state:
+                    f9 = from_planes(state[f"schurf{lvl}"])
+                    st._rbj_schur_fused = SchurFused(
+                        clover=f9[0], twolink=f9[1:5], corner=f9[5:9])
         saved_nvb = []
         for lvl in range(n_levels - 1):
             t = mg.get_transfer(lvl)
@@ -264,6 +357,14 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             fine_coeffs = fine_st.coeffs
             otype = (StencilType.ORIGINAL if outer_type is None
                      else StencilType(outer_type))
+            # Build every derived set (dagger/rbjacobi/fused Schur) the
+            # configured solve needs at the TOP trace level. With traced
+            # coefficients, a lazy build first triggered inside a Krylov
+            # while_loop body would be re-executed every iteration -
+            # measured as the n19 Schur 512^2 solve costing ~9x the
+            # standard one per outer (PERF.md round 5).
+            if hasattr(mg, "prebuild_derived_stencils"):
+                mg.prebuild_derived_stencils(otype)
             if otype == StencilType.ORIGINAL:
                 # The OUTER matvec stays exact (bypasses any kernel
                 # override): a reduced-precision fine apply is only
