@@ -104,3 +104,47 @@ def effective_mass_cosh(corr) -> np.ndarray:
                 lo = mid
         out[t] = 0.5 * (lo + hi)
     return out
+
+
+def fit_cosh_mass(corrs, lo: int, hi: int):
+    """Jackknifed weighted cosh fit of the pion mass over t in [lo, hi).
+
+    ``corrs``: (n_configs, T) per-configuration folded correlators.
+    Fits C(t) = A cosh(m (t - T/2)) by weighted least squares (weights
+    1/sigma_t^2 from the per-config scatter of the mean), with
+    single-elimination jackknife errors on m. Returns (m, m_err, A).
+
+    Near the critical mass this uses every timeslice of the window
+    coherently and is far better conditioned than the pointwise acosh
+    plateau average the reference reports (n15 wilson_u1.cpp:223-229);
+    both estimators agree well away from criticality.
+    """
+    from scipy.optimize import curve_fit
+
+    corrs = np.asarray(corrs, dtype=np.float64)
+    n, T = corrs.shape
+    ts = np.arange(lo, hi, dtype=np.float64)
+    sig = corrs[:, lo:hi].std(axis=0, ddof=1) / np.sqrt(n)
+    sig = np.where(sig > 0, sig, np.nanmax(sig) if np.nanmax(sig) > 0
+                   else 1.0)
+
+    def model(t, A, m):
+        return A * np.cosh(m * (t - T / 2.0))
+
+    def one_fit(c):
+        c = c[lo:hi]
+        # acosh seed from the window midpoint (guards handle r < 1).
+        mid = len(c) // 2
+        r = ((c[mid + 1] + c[mid - 1]) / (2.0 * c[mid])
+             if 0 < mid < len(c) - 1 else 1.1)
+        m0 = float(np.arccosh(r)) if r > 1.0 else 0.1
+        A0 = c[mid] / np.cosh(m0 * (ts[mid] - T / 2.0))
+        popt, _ = curve_fit(model, ts, c, p0=[A0, m0], sigma=sig,
+                            absolute_sigma=True, maxfev=20000)
+        return abs(popt[1]), popt[0]
+
+    m_full, A_full = one_fit(corrs.mean(axis=0))
+    jk = np.array([one_fit(np.delete(corrs, i, axis=0).mean(axis=0))[0]
+                   for i in range(n)])
+    m_err = float(np.sqrt((n - 1) * np.var(jk)))
+    return float(m_full), m_err, float(A_full)
