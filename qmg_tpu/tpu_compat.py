@@ -143,6 +143,138 @@ def derived_state_planes(mg, outer_type=None, dtype=np.float32):
     return state
 
 
+def _patch_hierarchy(mg, state):
+    """Patch decoded complex arrays from a planes state dict into the
+    hierarchy for tracing. Returns a token for _restore_hierarchy.
+
+    Shifts ride the planes state too: a concrete scalar would make
+    derived builds (rbjacobi QR etc.) evaluate eagerly at trace time and
+    embed complex constants the axon backend cannot transfer. Shipped
+    derived sets (rbjcinv/rbjh/rbjt/rbjc/schurf, see
+    derived_state_planes) are decoded instead of re-derived.
+    """
+    n_levels = mg.get_num_levels()
+    saved = []
+    for lvl in range(n_levels):
+        st = mg.get_stencil(lvl)
+        saved.append((st, st.coeffs, st._dagger, st._rbjacobi,
+                      st._rbj_dagger, st._rbj_schur_fused))
+        kw = {}
+        if f"clover{lvl}" in state:
+            kw["clover"] = from_planes(state[f"clover{lvl}"])
+        if f"hopping{lvl}" in state:
+            kw["hopping"] = from_planes(state[f"hopping{lvl}"])
+        sh = from_planes(state[f"shifts{lvl}"])
+        st.coeffs = st.coeffs.replace(
+            **kw, shift=sh[0], eo_shift=sh[1], dof_shift=sh[2])
+        st.invalidate_derived()
+        if f"rbjcinv{lvl}" in state:
+            from .stencil import RBJacobiSet, SchurFused
+            from . import linalg as _linalg
+            cinv = from_planes(state[f"rbjcinv{lvl}"])
+            zero = jnp.zeros((), cinv.dtype)
+            kwr = dict(clover=_linalg.identity_like(cinv),
+                       hopping=None, twolink=None, corner=None,
+                       shift=zero, eo_shift=zero, dof_shift=zero)
+            for name, key in (("hopping", f"rbjh{lvl}"),
+                              ("twolink", f"rbjt{lvl}"),
+                              ("corner", f"rbjc{lvl}")):
+                if key in state:
+                    kwr[name] = from_planes(state[key])
+            st._rbjacobi = RBJacobiSet(
+                coeffs=st.coeffs.replace(**kwr), cinv=cinv)
+            if f"schurf{lvl}" in state:
+                f9 = from_planes(state[f"schurf{lvl}"])
+                st._rbj_schur_fused = SchurFused(
+                    clover=f9[0], twolink=f9[1:5], corner=f9[5:9])
+    saved_nvb = []
+    for lvl in range(n_levels - 1):
+        t = mg.get_transfer(lvl)
+        saved_nvb.append((t, t._nvb))
+        t._nvb = from_planes(state[f"nvb{lvl}"])
+    saved_dinv = mg.coarsest_dinv
+    if "cdinv" in state:
+        mg.coarsest_dinv = from_planes(state["cdinv"])
+    saved_defl = (mg.coarsest_evals, mg.coarsest_evecs)
+    if "cevecs" in state:
+        mg.coarsest_evals = from_planes(state["cevals"])
+        mg.coarsest_evecs = from_planes(state["cevecs"])
+    return (saved, saved_nvb, saved_dinv, saved_defl)
+
+
+def _restore_hierarchy(mg, token):
+    saved, saved_nvb, saved_dinv, saved_defl = token
+    for (st, coeffs, dag, rbj, rbjd, rbjsf) in saved:
+        st.coeffs = coeffs
+        st._dagger, st._rbjacobi, st._rbj_dagger = dag, rbj, rbjd
+        st._rbj_schur_fused = rbjsf
+        st.apply_override = None
+    for (t, nvb) in saved_nvb:
+        t._nvb = nvb
+    mg.coarsest_dinv = saved_dinv
+    mg.coarsest_evals, mg.coarsest_evecs = saved_defl
+
+
+def _planes_component_chain(mg, state, b_planes, component, K):
+    """Trace a K-long dependent chain of ONE solve component on the
+    decoded planes state - the profiling primitive behind
+    scripts/probe_2048_attrib.py (marginal K-vs-2K timing isolates the
+    component from the state decode).
+
+    Components: 'fine' (level-0 ORIGINAL apply), 'transfer'
+    (restrict->prolong roundtrip through level 1), 'smooth2' (2-iter
+    MinRes smoother on the fine operator), 'precond' (one full K-cycle
+    call). Returns a scalar depending on every chain step.
+    """
+    from jax import lax
+    from .stencil import apply_M as _apply_M
+    from . import solvers as _solvers
+
+    token = _patch_hierarchy(mg, state)
+    try:
+        import contextlib
+        with contextlib.ExitStack() as stack:
+            stack.enter_context(jax.default_matmul_precision("highest"))
+            v0 = from_planes(b_planes)
+            fine_coeffs = mg.get_stencil(0).coeffs
+
+            if component == "fine":
+                def body(_, v):
+                    out = _apply_M(fine_coeffs, v)
+                    return out / jnp.sqrt(norm2sq_c(out) + 1.0)
+            elif component == "transfer":
+                def body(_, v):
+                    vc = mg.restrict_f2c(v, 0)
+                    out = mg.prolong_c2f(vc, 0)
+                    return out / jnp.sqrt(norm2sq_c(out) + 1.0)
+            elif component == "smooth2":
+                def body(_, v):
+                    res = _solvers.minres(
+                        lambda u: _apply_M(fine_coeffs, u), v,
+                        max_iter=2, tol=0.0, omega=0.85)
+                    return res.x / jnp.sqrt(norm2sq_c(res.x) + 1.0)
+            elif component == "precond":
+                precond = mg.make_preconditioner(0)
+                n_levels = mg.get_num_levels()
+                carry0 = {"counts": jnp.zeros((n_levels, 4), jnp.int32),
+                          "iters": jnp.zeros((n_levels,), jnp.int32)}
+
+                def body(_, v):
+                    z, _c = precond(v, carry0)
+                    return z / jnp.sqrt(norm2sq_c(z) + 1.0)
+            else:
+                raise ValueError(f"unknown component {component!r}")
+
+            out = lax.fori_loop(0, K, body, v0)
+            return jnp.sum(jnp.abs(out)).astype(jnp.float32)
+    finally:
+        _restore_hierarchy(mg, token)
+
+
+def norm2sq_c(v):
+    return jnp.real(jnp.vdot(v, v))
+
+
 def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
                        use_pallas_fine: bool = False, pallas_tile: int = 16,
                        pallas_interpret: bool = False,
@@ -297,59 +429,7 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             return _solve_impl(state, b_planes)
 
     def _solve_impl(state, b_planes):
-        # Patch decoded complex arrays into the hierarchy for tracing.
-        saved = []
-        for lvl in range(n_levels):
-            st = mg.get_stencil(lvl)
-            saved.append((st, st.coeffs, st._dagger, st._rbjacobi,
-                          st._rbj_dagger, st._rbj_schur_fused))
-            kw = {}
-            if f"clover{lvl}" in state:
-                kw["clover"] = from_planes(state[f"clover{lvl}"])
-            if f"hopping{lvl}" in state:
-                kw["hopping"] = from_planes(state[f"hopping{lvl}"])
-            # Shifts ride the planes state too: a concrete scalar would
-            # make derived builds (rbjacobi QR etc.) evaluate eagerly at
-            # trace time and embed complex constants the axon backend
-            # cannot transfer.
-            sh = from_planes(state[f"shifts{lvl}"])
-            st.coeffs = st.coeffs.replace(
-                **kw, shift=sh[0], eo_shift=sh[1], dof_shift=sh[2])
-            st.invalidate_derived()
-            if f"rbjcinv{lvl}" in state:
-                # Precomputed derived sets ride the state (see
-                # derived_state_planes): decode instead of re-deriving
-                # QR inverses / Schur compositions per solve call.
-                from .stencil import RBJacobiSet, SchurFused
-                from . import linalg as _linalg
-                cinv = from_planes(state[f"rbjcinv{lvl}"])
-                zero = jnp.zeros((), cinv.dtype)
-                kwr = dict(clover=_linalg.identity_like(cinv),
-                           hopping=None, twolink=None, corner=None,
-                           shift=zero, eo_shift=zero, dof_shift=zero)
-                for name, key in (("hopping", f"rbjh{lvl}"),
-                                  ("twolink", f"rbjt{lvl}"),
-                                  ("corner", f"rbjc{lvl}")):
-                    if key in state:
-                        kwr[name] = from_planes(state[key])
-                st._rbjacobi = RBJacobiSet(
-                    coeffs=st.coeffs.replace(**kwr), cinv=cinv)
-                if f"schurf{lvl}" in state:
-                    f9 = from_planes(state[f"schurf{lvl}"])
-                    st._rbj_schur_fused = SchurFused(
-                        clover=f9[0], twolink=f9[1:5], corner=f9[5:9])
-        saved_nvb = []
-        for lvl in range(n_levels - 1):
-            t = mg.get_transfer(lvl)
-            saved_nvb.append((t, t._nvb))
-            t._nvb = from_planes(state[f"nvb{lvl}"])
-        saved_dinv = mg.coarsest_dinv
-        if "cdinv" in state:
-            mg.coarsest_dinv = from_planes(state["cdinv"])
-        saved_defl = (mg.coarsest_evals, mg.coarsest_evecs)
-        if "cevecs" in state:
-            mg.coarsest_evals = from_planes(state["cevals"])
-            mg.coarsest_evecs = from_planes(state["cevecs"])
+        token = _patch_hierarchy(mg, state)
         try:
             b = from_planes(b_planes)
             fine_st = mg.get_stencil(0)
@@ -476,15 +556,7 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
             return (to_planes(x), res.iters,
                     jnp.real(res.res_sq).astype(jnp.float32))
         finally:
-            for (st, coeffs, dag, rbj, rbjd, rbjsf) in saved:
-                st.coeffs = coeffs
-                st._dagger, st._rbjacobi, st._rbj_dagger = dag, rbj, rbjd
-                st._rbj_schur_fused = rbjsf
-                st.apply_override = None
-            for (t, nvb) in saved_nvb:
-                t._nvb = nvb
-            mg.coarsest_dinv = saved_dinv
-            mg.coarsest_evals, mg.coarsest_evecs = saved_defl
+            _restore_hierarchy(mg, token)
 
     return solve_planes, state
 
