@@ -145,7 +145,7 @@ def run_stream(L=32, beta=6.0, mass=-0.06, n_configs=10, n_therm=1000,
     mean = pions.mean(axis=0)
     err = (pions.std(axis=0) / np.sqrt(max(len(pions), 1))
            if len(pions) > 1 else np.zeros(L))
-    return mean, err, plaqs, iters_list
+    return mean, err, plaqs, iters_list, pions
 
 
 def main():
@@ -163,6 +163,9 @@ def main():
     p.add_argument("--batched", action="store_true",
                    help="solve all sources of a config in ONE batched "
                         "device program (TPU throughput mode)")
+    p.add_argument("--save", default=None,
+                   help="save per-config folded correlators to this "
+                        ".npz (for offline refits)")
     args = p.parse_args()
 
     import jax
@@ -171,7 +174,7 @@ def main():
     elif os.environ.get("JAX_PLATFORMS") == "axon":
         jax.config.update("jax_platforms", "axon,cpu")
 
-    mean, err, plaqs, iters = run_stream(
+    mean, err, plaqs, iters, pions = run_stream(
         L=args.L, beta=args.beta, mass=args.mass,
         n_configs=args.n_configs, n_therm=args.n_therm,
         n_update=args.n_update, n_refine=args.n_refine, tol=args.tol,
@@ -187,6 +190,32 @@ def main():
     mid = len(masses) // 2
     print(f"[QMG-MASS]: effective masses around t=L/4..L/2: "
           f"{[f'{m:.4f}' for m in masses[mid - 4:mid + 1]]}")
+    # Plateau + jackknifed cosh-fit extraction, same protocol as
+    # examples/wilson_goldstone.py (reference critical_mass.txt values).
+    L = args.L
+    lo, hi = L // 4, L // 2 - 1
+    if len(pions) > 2:
+        jk = []
+        for drop in range(len(pions)):
+            sub = np.delete(pions, drop, axis=0).mean(axis=0)
+            m = measure.effective_mass_acosh(sub)[lo:hi]
+            jk.append(np.nanmean(m))
+        jk = np.array(jk)
+        m_pi = np.nanmean(jk)
+        m_err = np.sqrt((len(jk) - 1) * np.nanvar(jk))
+        print(f"[QMG-PION-MASS]: m = {args.mass} -> m_pi = {m_pi:.5f} "
+              f"+/- {m_err:.5f} (plateau t in [{lo},{hi}))")
+        try:
+            m_fit, e_fit, _ = measure.fit_cosh_mass(pions, lo, hi)
+            print(f"[QMG-PION-MASS-FIT]: m = {args.mass} -> m_pi = "
+                  f"{m_fit:.5f} +/- {e_fit:.5f} (cosh fit t in "
+                  f"[{lo},{hi}))")
+        except Exception as e:
+            print(f"[QMG-WARNING]: cosh fit failed ({e})")
+    if args.save:
+        np.savez(args.save, pions=pions, plaqs=np.array(plaqs),
+                 mass=args.mass, beta=args.beta, L=L)
+        print(f"[QMG-NOTE]: per-config correlators saved to {args.save}")
 
 
 if __name__ == "__main__":

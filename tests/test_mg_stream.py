@@ -14,7 +14,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 def test_mg_stream_two_configs():
     from examples.wilson_mg_stream import run_stream
-    mean, err, plaqs, iters = run_stream(
+    mean, err, plaqs, iters, _ = run_stream(
         L=16, n_configs=2, n_therm=100, n_update=50, n_refine=1,
         coarse_dof=4, tol=1e-6, verbose=False)
     assert len(plaqs) == 2
@@ -33,7 +33,7 @@ def test_mg_stream_batched_matches_sequential():
     from examples.wilson_mg_stream import run_stream
     kw = dict(L=16, n_configs=2, n_therm=100, n_update=50, n_refine=1,
               coarse_dof=4, tol=1e-6, verbose=False)
-    mean_s, _, plaqs_s, _ = run_stream(**kw)
-    mean_b, _, plaqs_b, _ = run_stream(batched=True, **kw)
+    mean_s, _, plaqs_s, _, _ = run_stream(**kw)
+    mean_b, _, plaqs_b, _, _ = run_stream(batched=True, **kw)
     np.testing.assert_allclose(plaqs_b, plaqs_s, rtol=1e-12)
     np.testing.assert_allclose(mean_b, mean_s, rtol=1e-3)
