@@ -62,19 +62,27 @@ def main():
     L = int(sys.argv[1]) if len(sys.argv) > 1 else 2048
     R = int(sys.argv[2]) if len(sys.argv) > 2 else 16
     n = 2 * L * L  # nc=2 Wilson fine vector length
-    key = jax.random.PRNGKey(0)
-    kr, ki, kv = jax.random.split(key, 3)
-    aps = (jax.random.normal(kr, (R, n), jnp.float32)
-           + 1j * jax.random.normal(ki, (R, n), jnp.float32)
-           ).astype(jnp.complex64)
-    ps = aps[::-1]
-    v = (jax.random.normal(kv, (n,), jnp.float32)
-         + 1j * jax.random.normal(kv, (n,), jnp.float32)
-         ).astype(jnp.complex64)
-    apsq = jnp.ones((R,), jnp.float32)
-    aps_r = jnp.concatenate(
-        [jnp.real(aps), jnp.imag(aps)], axis=1)  # (R, 2n) f32
-    v_r = jnp.concatenate([jnp.real(v), jnp.imag(v)])
+
+    # Operands must be built INSIDE jit: eager complex ops on the axon
+    # backend produce arrays whose values cannot be fetched (the same
+    # UNIMPLEMENTED the verify skill documents for eager c64).
+    @jax.jit
+    def init():
+        key = jax.random.PRNGKey(0)
+        kr, ki, kv = jax.random.split(key, 3)
+        aps = (jax.random.normal(kr, (R, n), jnp.float32)
+               + 1j * jax.random.normal(ki, (R, n), jnp.float32)
+               ).astype(jnp.complex64)
+        v = (jax.random.normal(kv, (n,), jnp.float32)
+             + 1j * jax.random.normal(kv, (n,), jnp.float32)
+             ).astype(jnp.complex64)
+        aps_r = jnp.concatenate(
+            [jnp.real(aps), jnp.imag(aps)], axis=1)  # (R, 2n) f32
+        v_r = jnp.concatenate([jnp.real(v), jnp.imag(v)])
+        return aps, aps[::-1], v, aps_r, v_r
+
+    aps, ps, v, aps_r, v_r = init()
+    apsq = np.ones((R,), np.float32)
 
     gb = R * n * 8 / 2**30
     print(f"[gcr-store] L={L} R={R} n={n} store {gb:.2f} GiB/side")
@@ -112,6 +120,51 @@ def main():
     t = marginal(dus_c64, (aps, v))
     print(f"[gcr-store] dus_c64 (1 row write): {t*1e3:.2f} ms "
           f"(roofline {gb/R/819*1e3:.3f})", flush=True)
+
+    def dus_real(i, c):
+        st, v_ = c
+        st = lax.dynamic_update_index_in_dim(st, v_, i % R, 0)
+        return (st, v_ * 1.0000001)
+    t = marginal(dus_real, (aps_r, v_r))
+    print(f"[gcr-store] dus_real (1 f32 row write): {t*1e3:.2f} ms "
+          f"(roofline {gb/R/819*1e3:.3f})", flush=True)
+
+    # Full real-pair trip: stores held as (R, 2, n) f32; betas via ONE
+    # matmul against a (2n, 2) rhs [v, swap(v)]; corrections via ONE
+    # einsum with per-slot 2x2 rotation blocks - every correction pass
+    # reads the store exactly once.
+    @jax.jit
+    def to_r2n(a):
+        return jnp.stack([jnp.real(a), jnp.imag(a)], axis=1)  # (R,2,n)
+    aps2 = to_r2n(aps)
+    ps2 = to_r2n(ps)
+
+    def trip_realpair(i, c):
+        x, r, psb, apsb = c  # x,r: (2,n) f32; stores: (R,2,n)
+        ap = r * 1.0000001
+        # betas: re = <a,p>_r, im = <a, swap p> with swap = [im, -re]
+        rhs = jnp.stack([ap.reshape(2 * n),
+                         jnp.concatenate([ap[1], -ap[0]])], axis=1)
+        bri = apsb.reshape(R, 2 * n) @ rhs  # (R, 2) [re, im]
+        bri = bri / apsq[:, None]
+        # correction: ap -= sum_j (beta_j * a_j) via (R,2,2) rotation
+        rot = jnp.stack(
+            [jnp.stack([bri[:, 0], -bri[:, 1]], axis=1),
+             jnp.stack([bri[:, 1], bri[:, 0]], axis=1)], axis=1)
+        ap = ap - jnp.einsum('jcd,jdn->cn', rot, apsb,
+                             precision='highest')
+        z = r - jnp.einsum('jcd,jdn->cn', rot, psb,
+                           precision='highest')
+        alr = jnp.sum(ap * r) / jnp.maximum(jnp.sum(ap * ap), 1e-30)
+        x = x + alr * z
+        r = r - alr * ap
+        psb = lax.dynamic_update_index_in_dim(psb, z, i % R, 0)
+        apsb = lax.dynamic_update_index_in_dim(apsb, ap, i % R, 0)
+        return (x, r, psb, apsb)
+    v2 = jnp.stack([v_r[:n], v_r[n:]])
+    t = marginal(trip_realpair, (v2, v2, ps2, aps2))
+    print(f"[gcr-store] trip_realpair (no matvec): {t*1e3:.2f} ms "
+          f"(roofline ~{(3*gb + 6*gb/R)/819*1e3:.2f})", flush=True)
 
     def trip_c64(i, c):
         x, r, psb, apsb = c
