@@ -550,6 +550,18 @@ def make_kcycle_setup_planes(lat0: Lattice2D, cfg: KCycleConfig, mass,
             if len(gauss_planes) != cfg.n_refine:
                 raise ValueError(f"need {cfg.n_refine} gauss seed arrays, "
                                  f"got {len(gauss_planes)}")
+            # The stage jits trace on first call, inside this frame:
+            # mesh-sharded stages must keep geometric solver carries
+            # (see solvers.flat_carries; flattening is inexpressible
+            # for the SPMD partitioner).
+            _flat_ctx = solvers.flat_carries(mesh is None)
+            _flat_ctx.__enter__()
+            try:
+                return _setup_body(gauge_planes, gauss_planes)
+            finally:
+                _flat_ctx.__exit__(None, None, None)
+
+        def _setup_body(gauge_planes, gauss_planes):
             state = {}
             state["shifts0"] = host_to_planes(np.asarray(
                 [complex(mass), 0j, 0j], np.complex64))

@@ -426,6 +426,11 @@ def make_planes_solver(mg, tol=1e-8, max_iter=400, restart_freq=32,
         prec = jax.default_matmul_precision("highest")
         with contextlib.ExitStack() as _stack:
             _stack.enter_context(prec)
+            # Mesh-sharded solves must keep geometric carries: the
+            # solvers' flat-carry layout fix (solvers.flat_carries)
+            # collapses fields to (n,), which the SPMD partitioner
+            # cannot shard (it would all-gather every carry).
+            _stack.enter_context(solvers.flat_carries(mesh is None))
             return _solve_impl(state, b_planes)
 
     def _solve_impl(state, b_planes):

@@ -82,47 +82,55 @@ def main():
     rdt = jnp.float32
 
     def variant(use_cond, use_where, use_while):
-        def body(s):
-            x, r, rsq, ps, aps, apsq, j, kk = s
-            if use_cond:
-                def do_restart(args):
-                    x_, r_, ps_, aps_, apsq_ = args
-                    return (x_, b - matvec(x_), jnp.zeros_like(ps_),
-                            jnp.zeros_like(aps_), jnp.ones_like(apsq_))
-                need = j >= R
-                x, r, ps, aps, apsq = lax.cond(
-                    need, do_restart, lambda a: a, (x, r, ps, aps, apsq))
-                j = jnp.where(need, 0, j)
-            z = r
-            ap = matvec(z)
-            ap_flat = ap.reshape(n)
-            betas = (jnp.conj(aps) @ ap_flat) / apsq
-            if use_where:
-                betas = jnp.where(jnp.arange(R) < j, betas, 0.0)
-            ap = (ap_flat - betas @ aps).reshape(b.shape)
-            z = (z.reshape(n) - betas @ ps).reshape(b.shape)
-            apsq_new = solvers.norm2sq(ap)
-            if use_where:
-                broke = ~(apsq_new > jnp.asarray(np.finfo(np.float32).tiny,
-                                                 rdt))
-                alpha = jnp.where(
-                    broke, 0.0,
-                    solvers.vdot(ap, r) / jnp.where(broke, 1.0, apsq_new))
-            else:
-                alpha = solvers.vdot(ap, r) / apsq_new
-            x = x + alpha * z
-            r = r - alpha * ap
-            rsq = solvers.norm2sq(r)
-            ps = lax.dynamic_update_index_in_dim(ps, z.reshape(n), j, 0)
-            aps = lax.dynamic_update_index_in_dim(aps, ap.reshape(n), j, 0)
-            apsq = lax.dynamic_update_index_in_dim(apsq, apsq_new, j, 0)
-            return (x, r, rsq, ps, aps, apsq, j + 1, kk + 1)
-
         def make_v(kmax):
             @jax.jit
             def run(b_):
-                # store inits built inside jit: eager complex zeros die
-                # on axon (same UNIMPLEMENTED as the operand init)
+                # body closes over the TRACED b_ (a closed-over device
+                # array would be embedded as a 1 GB MLIR constant and
+                # die on axon); store inits also built inside jit.
+                def body(s):
+                    x, r, rsq, ps, aps, apsq, j, kk = s
+                    if use_cond:
+                        def do_restart(args):
+                            x_, r_, ps_, aps_, apsq_ = args
+                            return (x_, b_ - matvec(x_),
+                                    jnp.zeros_like(ps_),
+                                    jnp.zeros_like(aps_),
+                                    jnp.ones_like(apsq_))
+                        need = j >= R
+                        x, r, ps, aps, apsq = lax.cond(
+                            need, do_restart, lambda a: a,
+                            (x, r, ps, aps, apsq))
+                        j = jnp.where(need, 0, j)
+                    z = r
+                    ap = matvec(z)
+                    ap_flat = ap.reshape(n)
+                    betas = (jnp.conj(aps) @ ap_flat) / apsq
+                    if use_where:
+                        betas = jnp.where(jnp.arange(R) < j, betas, 0.0)
+                    ap = (ap_flat - betas @ aps).reshape(b_.shape)
+                    z = (z.reshape(n) - betas @ ps).reshape(b_.shape)
+                    apsq_new = solvers.norm2sq(ap)
+                    if use_where:
+                        broke = ~(apsq_new > jnp.asarray(
+                            np.finfo(np.float32).tiny, rdt))
+                        alpha = jnp.where(
+                            broke, 0.0,
+                            solvers.vdot(ap, r)
+                            / jnp.where(broke, 1.0, apsq_new))
+                    else:
+                        alpha = solvers.vdot(ap, r) / apsq_new
+                    x = x + alpha * z
+                    r = r - alpha * ap
+                    rsq = solvers.norm2sq(r)
+                    ps = lax.dynamic_update_index_in_dim(
+                        ps, z.reshape(n), j, 0)
+                    aps = lax.dynamic_update_index_in_dim(
+                        aps, ap.reshape(n), j, 0)
+                    apsq = lax.dynamic_update_index_in_dim(
+                        apsq, apsq_new, j, 0)
+                    return (x, r, rsq, ps, aps, apsq, j + 1, kk + 1)
+
                 ps0 = jnp.zeros((R, n), jnp.complex64)
                 apsq0 = jnp.ones((R,), rdt)
                 s0 = (jnp.zeros_like(b_), b_, solvers.norm2sq(b_), ps0,
